@@ -1,0 +1,178 @@
+"""Core containers: the BA problem, solver config, and solver result.
+
+TPU design decisions:
+  * ``BAProblem`` is a registered JAX pytree dataclass with **static shapes**:
+    the observation/camera/point arrays may be padded (``n_obs`` etc. record
+    the true counts; ``mask`` kills padded rows). Padding keeps every compiled
+    program shape-stable so jit caches hit across problems of the same bucket.
+  * Observations are expected **sorted by camera index** (``sort_by_camera``
+    enforces it). Sorted order makes the block-sparse assembly a segmented
+    reduction over contiguous runs — the layout the Pallas kernels
+    (tpu_ba/kernels/) exploit — and makes keyframe-partitioned sharding a
+    contiguous slice per device.
+
+Capability parity: the problem layout covers the reference's scene
+representation (cameras/points/observations — SURVEY.md §1.1, §2.1 R1-R4;
+reference mount empty, see SURVEY.md §0).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_ba.residuals.robust import ROBUST_NONE
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["cameras", "points", "obs_2d", "cam_idx", "pt_idx", "mask"],
+    meta_fields=["n_cameras", "n_points", "n_obs", "model"],
+)
+@dataclasses.dataclass(frozen=True)
+class BAProblem:
+    """A (possibly padded) bundle-adjustment problem.
+
+    cameras: (C, cam_dim) — BAL: 9 = [aa(3), t(3), f, k1, k2]
+    points:  (P, 3)
+    obs_2d:  (O, 2) measured pixel coordinates
+    cam_idx: (O,) int32, pt_idx: (O,) int32 — observation incidence
+    mask:    (O,) bool — False on padded rows
+    n_cameras/n_points/n_obs: true (unpadded) counts — static metadata
+    model:   "bal" (9-param) — static metadata
+    """
+
+    cameras: jax.Array
+    points: jax.Array
+    obs_2d: jax.Array
+    cam_idx: jax.Array
+    pt_idx: jax.Array
+    mask: jax.Array
+    n_cameras: int
+    n_points: int
+    n_obs: int
+    model: str = "bal"
+
+    @property
+    def cam_dim(self) -> int:
+        return self.cameras.shape[-1]
+
+    def with_params(self, cameras, points) -> "BAProblem":
+        return dataclasses.replace(self, cameras=cameras, points=points)
+
+
+def make_problem(
+    cameras,
+    points,
+    obs_2d,
+    cam_idx,
+    pt_idx,
+    *,
+    model: str = "bal",
+    pad_obs_to: int | None = None,
+    pad_multiple: int = 1024,
+    dtype=jnp.float32,
+    sort: bool = True,
+) -> BAProblem:
+    """Build a BAProblem from numpy/JAX arrays: sorts observations by camera,
+    pads the observation axis to a bucket size, and casts dtypes.
+
+    Padded rows point at camera 0 / point 0 with mask=False; every consumer
+    multiplies by the mask before reducing, so they contribute exact zeros.
+    """
+    cameras = np.asarray(cameras)
+    points = np.asarray(points)
+    obs_2d = np.asarray(obs_2d)
+    cam_idx = np.asarray(cam_idx, dtype=np.int32)
+    pt_idx = np.asarray(pt_idx, dtype=np.int32)
+    n_obs = int(obs_2d.shape[0])
+
+    if sort:
+        order = np.argsort(cam_idx, kind="stable")
+        obs_2d, cam_idx, pt_idx = obs_2d[order], cam_idx[order], pt_idx[order]
+
+    target = pad_obs_to if pad_obs_to is not None else _round_up(max(n_obs, 1), pad_multiple)
+    pad = target - n_obs
+    if pad < 0:
+        raise ValueError(f"pad_obs_to={pad_obs_to} < n_obs={n_obs}")
+    mask = np.concatenate([np.ones(n_obs, bool), np.zeros(pad, bool)])
+    obs_2d = np.concatenate([obs_2d, np.zeros((pad, 2), obs_2d.dtype)])
+    cam_idx = np.concatenate([cam_idx, np.zeros(pad, np.int32)])
+    pt_idx = np.concatenate([pt_idx, np.zeros(pad, np.int32)])
+
+    return BAProblem(
+        cameras=jnp.asarray(cameras, dtype),
+        points=jnp.asarray(points, dtype),
+        obs_2d=jnp.asarray(obs_2d, dtype),
+        cam_idx=jnp.asarray(cam_idx),
+        pt_idx=jnp.asarray(pt_idx),
+        mask=jnp.asarray(mask),
+        n_cameras=int(cameras.shape[0]),
+        n_points=int(points.shape[0]),
+        n_obs=n_obs,
+        model=model,
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class LMConfig:
+    """Levenberg–Marquardt trust-region configuration (all static).
+
+    Mirrors the per-iteration damping/accept-reject logic of the reference's
+    LM loop (BASELINE.json:5 "per-iteration damping/trust-region logic"),
+    recast as host-free ``lax.while_loop`` state transitions.
+    """
+
+    max_iters: int = 50
+    init_lambda: float = 1e-4
+    min_lambda: float = 1e-12
+    max_lambda: float = 1e12
+    # convergence thresholds
+    grad_tol: float = 1e-10       # on ‖g‖∞
+    cost_rel_tol: float = 1e-8    # on relative cost decrease of accepted steps
+    step_tol: float = 1e-12       # on ‖δ‖ / (‖x‖ + eps)
+    # robustification
+    robust_kind: int = ROBUST_NONE
+    robust_scale: float = 1.0
+    # inner linear solver ("dense" | "schur_pcg" | "schur_pcg_pallas")
+    linear_solver: str = "schur_pcg"
+    cg_max_iters: int = 100
+    cg_tol: float = 1e-6
+    # minimum added to diagonal damping for conditioning
+    diag_floor: float = 1e-6
+    diag_ceil: float = 1e32
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "cameras", "points", "cost", "initial_cost", "lam",
+        "iterations", "accepted", "grad_inf_norm", "converged",
+        "cost_history",
+    ],
+    meta_fields=[],
+)
+@dataclasses.dataclass(frozen=True)
+class LMResult:
+    """Solver output. ``cost_history`` has one slot per outer iteration
+    (padded with the final cost) so metrics like time-to-1%-cost can be
+    computed without host round-trips during the solve."""
+
+    cameras: jax.Array
+    points: jax.Array
+    cost: jax.Array
+    initial_cost: jax.Array
+    lam: jax.Array
+    iterations: jax.Array
+    accepted: jax.Array
+    grad_inf_norm: jax.Array
+    converged: jax.Array
+    cost_history: jax.Array
