@@ -1,0 +1,214 @@
+"""BAL (Bundle Adjustment in the Large) problem-file support.
+
+Capability parity: BAL problems are the benchmark substrate mandated by
+BASELINE.json (configs 2,3,5: Ladybug-49, Ladybug-1723, Trafalgar,
+Venice-1778). Format::
+
+    <num_cameras> <num_points> <num_observations>
+    <cam_idx> <pt_idx> <x> <y>          # × num_observations
+    <camera params, 9 lines each>        # aa(3), t(3), f, k1, k2
+    <point coords, 3 lines each>
+
+This sandbox has **zero network egress** (SURVEY.md §7e), so real BAL files
+cannot be downloaded; :func:`make_bal_like_problem` synthesizes
+dimension-matched stand-ins (same camera/point/observation counts, same
+camera model, vehicle-ring trajectory like Ladybug) and every report labels
+them as such. Real files load with :func:`load_bal` if ever provided.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from tpu_ba.core import BAProblem, make_problem
+
+# (n_cameras, n_points, n_observations) of the canonical BAL problems named in
+# BASELINE.json. Used to synthesize dimension-matched stand-ins offline.
+BAL_DATASET_DIMS = {
+    "ladybug-49": (49, 7776, 31843),
+    "ladybug-1723": (1723, 156502, 678718),
+    "trafalgar-257": (257, 65132, 225911),
+    "venice-1778": (1778, 993923, 5001946),
+}
+
+
+def load_bal(path: str, *, dtype=np.float32, pad_multiple: int = 1024,
+             normalize: bool = False) -> BAProblem:
+    """Parse a BAL text file (optionally gzipped) into a BAProblem."""
+    if path.endswith(".gz"):
+        import gzip
+
+        with gzip.open(path, "rt") as fh:
+            text = fh.read()
+    else:
+        with open(path) as fh:
+            text = fh.read()
+    vals = np.array(text.split(), dtype=np.float64)
+    n_cams, n_pts, n_obs = int(vals[0]), int(vals[1]), int(vals[2])
+    off = 3
+    obs_block = vals[off: off + 4 * n_obs].reshape(n_obs, 4)
+    off += 4 * n_obs
+    cams = vals[off: off + 9 * n_cams].reshape(n_cams, 9)
+    off += 9 * n_cams
+    pts = vals[off: off + 3 * n_pts].reshape(n_pts, 3)
+
+    cam_idx = obs_block[:, 0].astype(np.int32)
+    pt_idx = obs_block[:, 1].astype(np.int32)
+    obs_2d = obs_block[:, 2:4]
+    if normalize:
+        cams, pts = normalize_bal(cams, pts)
+    return make_problem(cams, pts, obs_2d, cam_idx, pt_idx, model="bal",
+                        dtype=dtype, pad_multiple=pad_multiple)
+
+
+def save_bal(path: str, problem: BAProblem) -> None:
+    """Write a BAProblem (unpadded part) in BAL text format."""
+    n_obs = problem.n_obs
+    cams = np.asarray(problem.cameras, np.float64)
+    pts = np.asarray(problem.points, np.float64)
+    ci = np.asarray(problem.cam_idx[:n_obs])
+    pi = np.asarray(problem.pt_idx[:n_obs])
+    uv = np.asarray(problem.obs_2d[:n_obs], np.float64)
+    with open(path, "w") as fh:
+        fh.write(f"{problem.n_cameras} {problem.n_points} {n_obs}\n")
+        for o in range(n_obs):
+            fh.write(f"{ci[o]} {pi[o]} {uv[o, 0]:.16e} {uv[o, 1]:.16e}\n")
+        for c in range(problem.n_cameras):
+            fh.write("\n".join(f"{v:.16e}" for v in cams[c]) + "\n")
+        for p in range(problem.n_points):
+            fh.write("\n".join(f"{v:.16e}" for v in pts[p]) + "\n")
+
+
+def normalize_bal(cams, pts):
+    """Center/scale the scene for f32 conditioning (SURVEY.md §7c).
+
+    Translates the point-cloud median to the origin and rescales its median
+    absolute deviation to 100 — the standard BAL normalization. Cameras'
+    translations are adjusted so reprojections are unchanged.
+    """
+    cams = cams.copy()
+    pts = pts.copy()
+    med = np.median(pts, axis=0)
+    dev = np.median(np.abs(pts - med).sum(axis=1))
+    scale = 100.0 / max(dev, 1e-12)
+    # X' = scale (X - med). Camera: P = R X + t = R (X'/scale + med) + t
+    #   ⇒ with R' = R, t' = scale (t + R med), P' = scale·P projects the same
+    #   (projection divides x/z so global scale cancels).
+    from tpu_ba.io.synthetic import _matrix_to_aa_np  # noqa: F401 (doc ref)
+
+    for c in range(cams.shape[0]):
+        aa = cams[c, 0:3]
+        theta = np.linalg.norm(aa)
+        if theta < 1e-12:
+            Rmed = med
+        else:
+            k = aa / theta
+            Rmed = (
+                med * np.cos(theta)
+                + np.cross(k, med) * np.sin(theta)
+                + k * (k @ med) * (1 - np.cos(theta))
+            )
+        cams[c, 3:6] = scale * (cams[c, 3:6] + Rmed)
+    pts = scale * (pts - med)
+    return cams, pts
+
+
+def make_bal_like_problem(
+    name: str,
+    *,
+    pixel_noise: float = 1.0,
+    cam_perturb: float = 0.02,
+    point_perturb: float = 0.05,
+    seed: int = 0,
+    dtype=np.float32,
+    pad_multiple: int = 1024,
+):
+    """Synthesize a BAL-dimension-matched stand-in problem (no network —
+    SURVEY.md §7e). Ladybug-style: cameras along a closed vehicle loop,
+    points in a band around the trajectory, each point seen by a window of
+    nearby cameras; observation count matched exactly.
+
+    Returns (problem, ground_truth dict).
+    """
+    if name not in BAL_DATASET_DIMS:
+        raise KeyError(f"unknown BAL stand-in {name!r}; have {sorted(BAL_DATASET_DIMS)}")
+    n_cams, n_pts, n_obs = BAL_DATASET_DIMS[name]
+    rng = np.random.default_rng(seed)
+
+    # trajectory: closed loop of radius R with lateral wobble
+    s = 2 * np.pi * np.arange(n_cams) / n_cams
+    R_loop = 30.0
+    centers = np.stack(
+        [R_loop * np.cos(s), 0.2 * rng.standard_normal(n_cams), R_loop * np.sin(s)],
+        axis=-1,
+    )
+
+    # points scattered in an annulus around the loop, biased outward
+    ang = 2 * np.pi * rng.random(n_pts)
+    rad = R_loop + rng.normal(8.0, 3.0, n_pts)
+    height = rng.normal(1.0, 2.0, n_pts)
+    points_gt = np.stack([rad * np.cos(ang), height, rad * np.sin(ang)], axis=-1)
+
+    from tpu_ba.io.synthetic import _look_at_rotation, _matrix_to_aa_np, _project_bal_np
+
+    cams_gt = np.zeros((n_cams, 9))
+    for i in range(n_cams):
+        # look outward from the loop at the point band
+        target = centers[i] * np.array([1.3, 0.0, 1.3])
+        Rm = _look_at_rotation(centers[i], target)
+        cams_gt[i, 0:3] = _matrix_to_aa_np(Rm)
+        cams_gt[i, 3:6] = -Rm @ centers[i]
+        cams_gt[i, 6] = 400.0 * (1.0 + 0.05 * rng.standard_normal())
+        cams_gt[i, 7] = -1e-7 * rng.random()
+        cams_gt[i, 8] = 1e-13 * rng.random()
+
+    # visibility: each point sees a window of cameras nearest in loop angle
+    pt_ang = np.arctan2(points_gt[:, 2], points_gt[:, 0])
+    cam_ang = np.arctan2(centers[:, 2], centers[:, 0])
+    obs_base = int(np.ceil(n_obs / n_pts))
+    k_obs = min(max(obs_base, 2), n_cams)
+    cam_order = np.argsort(cam_ang)
+    # nearest camera (by angle) per point, then a contiguous window around it
+    nearest_pos = np.searchsorted(cam_ang[cam_order], pt_ang) % n_cams
+    offsets = np.arange(k_obs) - k_obs // 2
+    window = (nearest_pos[:, None] + offsets[None, :]) % n_cams  # (P, k)
+    cam_idx = cam_order[window].reshape(-1).astype(np.int32)
+    pt_idx = np.repeat(np.arange(n_pts, dtype=np.int32), k_obs)
+
+    # trim to the exact observation count (drop random extras)
+    total = cam_idx.shape[0]
+    if total > n_obs:
+        keep = rng.permutation(total)[:n_obs]
+        keep.sort()
+        cam_idx, pt_idx = cam_idx[keep], pt_idx[keep]
+
+    obs = _project_bal_np(cams_gt[cam_idx], points_gt[pt_idx])
+    obs += pixel_noise * rng.standard_normal(obs.shape)
+
+    cams0 = cams_gt.copy()
+    cams0[:, 0:3] += cam_perturb * rng.standard_normal((n_cams, 3))
+    cams0[:, 3:6] += cam_perturb * 5.0 * rng.standard_normal((n_cams, 3))
+    points0 = points_gt + point_perturb * rng.standard_normal((n_pts, 3))
+
+    problem = make_problem(
+        cams0.astype(dtype), points0.astype(dtype), obs.astype(dtype),
+        cam_idx, pt_idx, model="bal", dtype=dtype, pad_multiple=pad_multiple,
+    )
+    ground_truth = {"cameras": cams_gt, "points": points_gt,
+                    "pixel_noise": pixel_noise, "n_obs": int(cam_idx.shape[0])}
+    return problem, ground_truth
+
+
+def find_bal_file(name: str, search_dirs=("data", "/root/data")) -> str | None:
+    """Locate a real BAL file if the driver ever provides one."""
+    candidates = [
+        f"problem-{name}.txt", f"problem-{name}.txt.gz", f"{name}.txt", f"{name}.txt.gz",
+    ]
+    for d in search_dirs:
+        for c in candidates:
+            p = os.path.join(d, c)
+            if os.path.exists(p):
+                return p
+    return None

@@ -1,0 +1,158 @@
+"""Levenberg–Marquardt trust-region driver — host-free, one XLA program.
+
+Capability parity: the reference's LM loop ("Levenberg-Marquardt …
+per-iteration damping/trust-region logic", BASELINE.json:5; SURVEY.md §2.1
+R3) recast as jit-compiled control flow: the whole solve — linearize →
+assemble → Schur/PCG solve → gain-ratio accept/reject → λ update — is one
+``lax.while_loop`` with no host round-trips (SURVEY.md §3.2a). λ adaptation
+follows Nielsen's rule (accept: λ·max(⅓, 1−(2ρ−1)³), ν=2; reject: λ·ν, ν·2).
+
+The linear solver is selected statically from LMConfig.linear_solver:
+  * "dense"     — full H solve (oracle / tiny problems; tpu_ba/solver/dense.py)
+  * "schur_pcg" — matrix-free Schur + block-Jacobi PCG (production)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from tpu_ba.core import BAProblem, LMConfig, LMResult
+from tpu_ba.jacobians.analytic import jacobian_blocks_bal
+from tpu_ba.residuals.robust import robust_rho
+from tpu_ba.solver import dense as dense_mod
+from tpu_ba.solver import schur as schur_mod
+from tpu_ba.solver.normal import assemble
+
+
+def _robust_cost(r, kind, scale, mask):
+    s = jnp.sum(r * r, axis=-1)
+    rho = robust_rho(kind, s, scale)
+    rho = jnp.where(mask, rho, 0.0)
+    return 0.5 * jnp.sum(rho)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _solve_jit(problem: BAProblem, config: LMConfig) -> LMResult:
+    cams0, pts0 = problem.cameras, problem.points
+    obs, ci, pi, mask = problem.obs_2d, problem.cam_idx, problem.pt_idx, problem.mask
+    C, P = problem.cameras.shape[0], problem.points.shape[0]
+    dtype = cams0.dtype
+    kind, scale = config.robust_kind, config.robust_scale
+
+    def cost_fn(cams, pts):
+        from tpu_ba.residuals.reprojection import residuals_bal
+
+        r = residuals_bal(cams, pts, obs, ci, pi, mask)
+        return _robust_cost(r, kind, scale, mask)
+
+    def linear_solve(B, lam):
+        if config.linear_solver == "dense":
+            dxc, dxp = dense_mod.solve_dense(B, lam, config.diag_floor, config.diag_ceil)
+            return dxc, dxp, jnp.asarray(0, jnp.int32)
+        elif config.linear_solver == "schur_pcg":
+            return schur_mod.solve_schur_pcg(
+                B, lam,
+                cg_max_iters=config.cg_max_iters, cg_tol=config.cg_tol,
+                diag_floor=config.diag_floor, diag_ceil=config.diag_ceil,
+            )
+        raise ValueError(f"unknown linear_solver {config.linear_solver!r}")
+
+    cost0 = cost_fn(cams0, pts0)
+    hist0 = jnp.full((config.max_iters,), cost0, dtype)
+
+    # state: cams, pts, lam, nu, cost, it, n_accepted, gnorm, done, hist
+    init = (
+        cams0, pts0,
+        jnp.asarray(config.init_lambda, dtype), jnp.asarray(2.0, dtype),
+        cost0, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+        jnp.asarray(jnp.inf, dtype), jnp.asarray(False), hist0,
+    )
+
+    def cond(state):
+        _, _, _, _, _, it, _, _, done, _ = state
+        return jnp.logical_and(it < config.max_iters, jnp.logical_not(done))
+
+    def body(state):
+        cams, pts, lam, nu, cost, it, n_acc, _, _, hist = state
+
+        r, Jc, Jp = jacobian_blocks_bal(cams, pts, obs, ci, pi, mask)
+        B = assemble(r, Jc, Jp, ci, pi, C, P, kind, scale, mask)
+
+        gnorm = jnp.maximum(
+            jnp.max(jnp.abs(B.gc)), jnp.max(jnp.abs(B.gp))
+        )
+
+        dxc, dxp, _cg = linear_solve(B, lam)
+
+        new_cams = cams + dxc
+        new_pts = pts + dxp
+        new_cost = cost_fn(new_cams, new_pts)
+
+        # predicted reduction ½(λ δᵀDδ − δᵀg) with D the damping diagonal
+        dU = jnp.clip(jnp.diagonal(B.U, axis1=-2, axis2=-1),
+                      config.diag_floor, config.diag_ceil)
+        dV = jnp.clip(jnp.diagonal(B.V, axis1=-2, axis2=-1),
+                      config.diag_floor, config.diag_ceil)
+        dTDd = jnp.sum(dU * dxc * dxc) + jnp.sum(dV * dxp * dxp)
+        dTg = jnp.sum(B.gc * dxc) + jnp.sum(B.gp * dxp)
+        pred = 0.5 * (lam * dTDd - dTg)
+
+        rho_gain = (cost - new_cost) / jnp.maximum(pred, jnp.asarray(1e-30, dtype))
+        accept = jnp.logical_and(new_cost < cost, jnp.isfinite(new_cost))
+        accept = jnp.logical_and(accept, pred > 0)
+
+        cams = jnp.where(accept, new_cams, cams)
+        pts = jnp.where(accept, new_pts, pts)
+        cost_next = jnp.where(accept, new_cost, cost)
+
+        factor = jnp.maximum(
+            jnp.asarray(1.0 / 3.0, dtype),
+            1.0 - (2.0 * rho_gain - 1.0) ** 3,
+        )
+        lam_acc = jnp.clip(lam * factor, config.min_lambda, config.max_lambda)
+        lam_rej = jnp.clip(lam * nu, config.min_lambda, config.max_lambda)
+        lam = jnp.where(accept, lam_acc, lam_rej)
+        nu = jnp.where(accept, jnp.asarray(2.0, dtype), nu * 2.0)
+
+        # convergence tests
+        step_norm = jnp.sqrt(jnp.sum(dxc * dxc) + jnp.sum(dxp * dxp))
+        x_norm = jnp.sqrt(jnp.sum(cams * cams) + jnp.sum(pts * pts))
+        rel_decrease = (cost - cost_next) / jnp.maximum(cost, 1e-30)
+        done = gnorm < config.grad_tol
+        done = jnp.logical_or(
+            done, jnp.logical_and(accept, rel_decrease < config.cost_rel_tol)
+        )
+        done = jnp.logical_or(
+            done, step_norm < config.step_tol * (x_norm + config.step_tol)
+        )
+        done = jnp.logical_or(done, lam >= config.max_lambda)
+
+        hist = hist.at[it].set(cost_next)
+        n_acc = n_acc + accept.astype(jnp.int32)
+        return (cams, pts, lam, nu, cost_next, it + 1, n_acc, gnorm, done, hist)
+
+    cams, pts, lam, nu, cost, it, n_acc, gnorm, done, hist = jax.lax.while_loop(
+        cond, body, init
+    )
+    # forward-fill history for iterations that never ran
+    idx = jnp.arange(config.max_iters)
+    hist = jnp.where(idx < it, hist, cost)
+
+    return LMResult(
+        cameras=cams, points=pts, cost=cost, initial_cost=cost0, lam=lam,
+        iterations=it, accepted=n_acc, grad_inf_norm=gnorm, converged=done,
+        cost_history=hist,
+    )
+
+
+def solve(problem: BAProblem, config: LMConfig | None = None) -> LMResult:
+    """Bundle-adjust ``problem`` with Levenberg–Marquardt. jit-compiled,
+    shape-static; repeated calls with same-shaped problems reuse the cache."""
+    if config is None:
+        config = LMConfig()
+    if problem.model != "bal":
+        raise ValueError(f"solve() currently handles the 'bal' model; got {problem.model!r}")
+    return _solve_jit(problem, config)

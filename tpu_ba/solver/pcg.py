@@ -1,0 +1,57 @@
+"""Preconditioned conjugate gradients on the reduced camera system.
+
+Capability parity: replaces the reference's direct "backslash" solve with a
+distributed-friendly iterative solve (BASELINE.json:5 "preconditioned CG",
+SURVEY.md §2.2 N6). Host-free: one ``lax.while_loop`` whose body is a single
+S-matvec (the ICI/DCN psum per iteration under sharding — SURVEY.md §3.2a);
+early exit on the relative-residual test keeps rejected-λ retries cheap.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def pcg(matvec, b, precond, *, max_iters: int, tol: float, x0=None):
+    """Solve A x = b with preconditioned CG.
+
+    matvec: x ↦ A·x, precond: r ↦ M⁻¹·r — both over arbitrary pytree-free
+    array shapes (reductions use the full array).
+    Returns (x, iterations_used).
+    """
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+
+    def dot(a, c):
+        return jnp.sum(a * c)
+
+    r0 = b - matvec(x0)
+    z0 = precond(r0)
+    p0 = z0
+    rz0 = dot(r0, z0)
+    b_norm2 = dot(b, b)
+    tol2 = tol * tol * jnp.maximum(b_norm2, jnp.asarray(1e-30, b.dtype))
+
+    def cond(state):
+        _, r, _, _, k, _ = state
+        return jnp.logical_and(k < max_iters, dot(r, r) > tol2)
+
+    def body(state):
+        x, r, p, rz, k, _ = state
+        Ap = matvec(p)
+        pAp = dot(p, Ap)
+        # guard against breakdown (pAp ≤ 0 ⇒ S not PD at this damping; stop)
+        alpha = rz / jnp.where(jnp.abs(pAp) < 1e-30, 1e-30, pAp)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = precond(r)
+        rz_new = dot(r, z)
+        beta = rz_new / jnp.where(jnp.abs(rz) < 1e-30, 1e-30, rz)
+        p = z + beta * p
+        return (x, r, p, rz_new, k + 1, pAp > 0)
+
+    x, r, p, rz, k, ok = jax.lax.while_loop(
+        cond, body, (x0, r0, p0, rz0, jnp.asarray(0, jnp.int32), jnp.asarray(True))
+    )
+    return x, k
