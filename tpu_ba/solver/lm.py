@@ -7,9 +7,15 @@ assemble → Schur/PCG solve → gain-ratio accept/reject → λ update — is o
 ``lax.while_loop`` with no host round-trips (SURVEY.md §3.2a). λ adaptation
 follows Nielsen's rule (accept: λ·max(⅓, 1−(2ρ−1)³), ν=2; reject: λ·ν, ν·2).
 
+The same loop body runs single-device and under ``shard_map``: all
+cross-device communication is confined to the psums inside the assembly and
+Schur routines (keyed off ``axis_name``), so the distributed solver
+(tpu_ba/sharding/) is this exact code over observation shards.
+
 The linear solver is selected statically from LMConfig.linear_solver:
-  * "dense"     — full H solve (oracle / tiny problems; tpu_ba/solver/dense.py)
-  * "schur_pcg" — matrix-free Schur + block-Jacobi PCG (production)
+  * "dense"            — full H solve (oracle / tiny problems)
+  * "schur_pcg"        — matrix-free Schur + block-Jacobi PCG (production)
+  * "schur_pcg_pallas" — same, with Pallas assembly/matvec kernels
 """
 
 from __future__ import annotations
@@ -21,42 +27,47 @@ import jax.numpy as jnp
 
 from tpu_ba.core import BAProblem, LMConfig, LMResult
 from tpu_ba.jacobians.analytic import jacobian_blocks_bal
+from tpu_ba.residuals.reprojection import residuals_bal
 from tpu_ba.residuals.robust import robust_rho
 from tpu_ba.solver import dense as dense_mod
 from tpu_ba.solver import schur as schur_mod
 from tpu_ba.solver.normal import assemble
 
 
-def _robust_cost(r, kind, scale, mask):
+def _robust_cost(r, kind, scale, mask, axis_name=None):
     s = jnp.sum(r * r, axis=-1)
     rho = robust_rho(kind, s, scale)
     rho = jnp.where(mask, rho, 0.0)
-    return 0.5 * jnp.sum(rho)
+    cost = 0.5 * jnp.sum(rho)
+    if axis_name is not None:
+        cost = jax.lax.psum(cost, axis_name)
+    return cost
 
 
-@partial(jax.jit, static_argnums=(1,))
-def _solve_jit(problem: BAProblem, config: LMConfig) -> LMResult:
-    cams0, pts0 = problem.cameras, problem.points
-    obs, ci, pi, mask = problem.obs_2d, problem.cam_idx, problem.pt_idx, problem.mask
-    C, P = problem.cameras.shape[0], problem.points.shape[0]
+def lm_loop(cams0, pts0, obs, ci, pi, mask, n_cameras: int, n_points: int,
+            config: LMConfig, axis_name: str | None = None) -> LMResult:
+    """The LM trust-region loop over (possibly shard-local) observation
+    arrays. cams0/pts0 are replicated; obs/ci/pi/mask are the local shard
+    when ``axis_name`` is set. Returns a fully replicated LMResult."""
     dtype = cams0.dtype
     kind, scale = config.robust_kind, config.robust_scale
 
     def cost_fn(cams, pts):
-        from tpu_ba.residuals.reprojection import residuals_bal
-
         r = residuals_bal(cams, pts, obs, ci, pi, mask)
-        return _robust_cost(r, kind, scale, mask)
+        return _robust_cost(r, kind, scale, mask, axis_name)
 
     def linear_solve(B, lam):
         if config.linear_solver == "dense":
+            if axis_name is not None:
+                raise ValueError("dense solver has no sharded path")
             dxc, dxp = dense_mod.solve_dense(B, lam, config.diag_floor, config.diag_ceil)
             return dxc, dxp, jnp.asarray(0, jnp.int32)
-        elif config.linear_solver == "schur_pcg":
+        elif config.linear_solver in ("schur_pcg", "schur_pcg_pallas"):
             return schur_mod.solve_schur_pcg(
                 B, lam,
                 cg_max_iters=config.cg_max_iters, cg_tol=config.cg_tol,
                 diag_floor=config.diag_floor, diag_ceil=config.diag_ceil,
+                axis_name=axis_name,
             )
         raise ValueError(f"unknown linear_solver {config.linear_solver!r}")
 
@@ -79,11 +90,10 @@ def _solve_jit(problem: BAProblem, config: LMConfig) -> LMResult:
         cams, pts, lam, nu, cost, it, n_acc, _, _, hist = state
 
         r, Jc, Jp = jacobian_blocks_bal(cams, pts, obs, ci, pi, mask)
-        B = assemble(r, Jc, Jp, ci, pi, C, P, kind, scale, mask)
+        B = assemble(r, Jc, Jp, ci, pi, n_cameras, n_points, kind, scale, mask,
+                     axis_name)
 
-        gnorm = jnp.maximum(
-            jnp.max(jnp.abs(B.gc)), jnp.max(jnp.abs(B.gp))
-        )
+        gnorm = jnp.maximum(jnp.max(jnp.abs(B.gc)), jnp.max(jnp.abs(B.gp)))
 
         dxc, dxp, _cg = linear_solve(B, lam)
 
@@ -145,6 +155,15 @@ def _solve_jit(problem: BAProblem, config: LMConfig) -> LMResult:
         cameras=cams, points=pts, cost=cost, initial_cost=cost0, lam=lam,
         iterations=it, accepted=n_acc, grad_inf_norm=gnorm, converged=done,
         cost_history=hist,
+    )
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _solve_jit(problem: BAProblem, config: LMConfig) -> LMResult:
+    return lm_loop(
+        problem.cameras, problem.points, problem.obs_2d,
+        problem.cam_idx, problem.pt_idx, problem.mask,
+        problem.cameras.shape[0], problem.points.shape[0], config,
     )
 
 

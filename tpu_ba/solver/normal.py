@@ -65,11 +65,18 @@ def apply_irls_weights(r, Jc, Jp, robust_kind: int, robust_scale: float, mask=No
 
 
 def assemble(r, Jc, Jp, cam_idx, pt_idx, n_cameras: int, n_points: int,
-             robust_kind: int = 0, robust_scale: float = 1.0, mask=None) -> BlockSystem:
+             robust_kind: int = 0, robust_scale: float = 1.0, mask=None,
+             axis_name: str | None = None) -> BlockSystem:
     """Assemble the block system from per-observation residuals/Jacobians.
 
     All inputs already have masked rows zeroed (see jacobian_blocks_*); the
     IRLS weighting re-applies the mask to guard the ρ′ of padded rows.
+
+    Under ``shard_map`` (observations sharded over ``axis_name``,
+    cameras/points replicated — SURVEY.md §2.2 N8) the segment sums become
+    local partial sums followed by one ``psum`` each; U/V/g/cost come back
+    replicated, while W and the index maps stay shard-local (the Schur matvec
+    consumes them shard-locally with its own psums).
     """
     r, Jc, Jp, cost = apply_irls_weights(r, Jc, Jp, robust_kind, robust_scale, mask)
 
@@ -84,6 +91,13 @@ def assemble(r, Jc, Jp, cam_idx, pt_idx, n_cameras: int, n_points: int,
     gc = jax.ops.segment_sum(gco, cam_idx, n_cameras, indices_are_sorted=True)
     V = jax.ops.segment_sum(VtV, pt_idx, n_points)
     gp = jax.ops.segment_sum(gpo, pt_idx, n_points)
+
+    if axis_name is not None:
+        U = jax.lax.psum(U, axis_name)
+        V = jax.lax.psum(V, axis_name)
+        gc = jax.lax.psum(gc, axis_name)
+        gp = jax.lax.psum(gp, axis_name)
+        cost = jax.lax.psum(cost, axis_name)
 
     return BlockSystem(U=U, V=V, W=W, gc=gc, gp=gp, cost=cost,
                        cam_idx=cam_idx, pt_idx=pt_idx)

@@ -44,7 +44,11 @@ def inv3x3(M):
     return adj / det_safe[..., None, None]
 
 
-def w_vinv_wt_diag(W, Vinv, cam_idx, pt_idx, n_cameras: int):
+def _reduce(x, axis_name):
+    return x if axis_name is None else jax.lax.psum(x, axis_name)
+
+
+def w_vinv_wt_diag(W, Vinv, cam_idx, pt_idx, n_cameras: int, axis_name=None):
     """Σ_obs W_o V⁻¹[pt_o] W_oᵀ accumulated per camera → (C, dc, dc).
 
     This is the second term of diag(S); used for the block-Jacobi
@@ -53,44 +57,53 @@ def w_vinv_wt_diag(W, Vinv, cam_idx, pt_idx, n_cameras: int):
     Vi = Vinv[pt_idx]                                  # (O,3,3) gather
     WVi = jnp.einsum("oij,ojk->oik", W, Vi)            # (O,dc,3)
     WViWt = jnp.einsum("oik,ojk->oij", WVi, W)         # (O,dc,dc)
-    return jax.ops.segment_sum(WViWt, cam_idx, n_cameras, indices_are_sorted=True)
+    out = jax.ops.segment_sum(WViWt, cam_idx, n_cameras, indices_are_sorted=True)
+    return _reduce(out, axis_name)
 
 
-def schur_rhs(B: BlockSystem, Vinv):
+def schur_rhs(B: BlockSystem, Vinv, axis_name=None):
     """b = −g_c + W V_λ⁻¹ g_p → (C, dc)."""
-    t = jnp.einsum("pij,pj->pi", Vinv, B.gp)           # (P,3)
-    Wt = jnp.einsum("oij,oj->oi", B.W, t[B.pt_idx])    # (O,dc)
+    t = jnp.einsum("pij,pj->pi", Vinv, B.gp)           # (P,3) replicated
+    Wt = jnp.einsum("oij,oj->oi", B.W, t[B.pt_idx])    # (O,dc) shard-local
     n_cameras = B.U.shape[0]
     red = jax.ops.segment_sum(Wt, B.cam_idx, n_cameras, indices_are_sorted=True)
-    return -B.gc + red
+    return -B.gc + _reduce(red, axis_name)
 
 
-def make_schur_matvec(Ul, W, Vinv, cam_idx, pt_idx, n_points: int):
-    """Returns x ↦ S·x for x of shape (C, dc), matrix-free."""
+def make_schur_matvec(Ul, W, Vinv, cam_idx, pt_idx, n_points: int, axis_name=None):
+    """Returns x ↦ S·x for x of shape (C, dc), matrix-free.
+
+    Under sharding: x, Ul, Vinv are replicated; W and the index maps are
+    shard-local; the two observation segment-sums each psum (the per-CG-iter
+    ICI/DCN crossings of SURVEY.md §3.2a).
+    """
     n_cameras = Ul.shape[0]
 
     def matvec(x):
-        y = jnp.einsum("cij,cj->ci", Ul, x)                       # U_λ x
+        y = jnp.einsum("cij,cj->ci", Ul, x)                       # U_λ x (replicated)
         wtx = jnp.einsum("oji,oj->oi", W, x[cam_idx])             # Wᵀx per obs (O,3)
         t = jax.ops.segment_sum(wtx, pt_idx, n_points)            # (P,3)
+        t = _reduce(t, axis_name)
         u = jnp.einsum("pij,pj->pi", Vinv, t)                     # V⁻¹ Wᵀ x
         z = jnp.einsum("oij,oj->oi", W, u[pt_idx])                # (O,dc)
         z = jax.ops.segment_sum(z, cam_idx, n_cameras, indices_are_sorted=True)
+        z = _reduce(z, axis_name)
         return y - z
 
     return matvec
 
 
-def back_substitute(B: BlockSystem, Vinv, dx_cam):
+def back_substitute(B: BlockSystem, Vinv, dx_cam, axis_name=None):
     """δ_p = V_λ⁻¹ (−g_p − Wᵀ δ_c) → (P, 3)."""
     wtd = jnp.einsum("oji,oj->oi", B.W, dx_cam[B.cam_idx])  # (O,3)
     n_points = B.V.shape[0]
     s = jax.ops.segment_sum(wtd, B.pt_idx, n_points)
+    s = _reduce(s, axis_name)
     return jnp.einsum("pij,pj->pi", Vinv, -B.gp - s)
 
 
 def solve_schur_pcg(B: BlockSystem, lam, *, cg_max_iters: int, cg_tol: float,
-                    diag_floor: float, diag_ceil: float):
+                    diag_floor: float, diag_ceil: float, axis_name=None):
     """Full Schur+PCG linear solve. Returns (δ_cameras, δ_points, cg_iters)."""
     from tpu_ba.solver.pcg import pcg
 
@@ -99,16 +112,16 @@ def solve_schur_pcg(B: BlockSystem, lam, *, cg_max_iters: int, cg_tol: float,
     n_cameras, _, _ = Ul.shape
     n_points = Vl.shape[0]
 
-    b = schur_rhs(B, Vinv)
-    matvec = make_schur_matvec(Ul, B.W, Vinv, B.cam_idx, B.pt_idx, n_points)
+    b = schur_rhs(B, Vinv, axis_name)
+    matvec = make_schur_matvec(Ul, B.W, Vinv, B.cam_idx, B.pt_idx, n_points, axis_name)
 
     # exact block-Jacobi preconditioner: inv of diag(S)
-    diag_S = Ul - w_vinv_wt_diag(B.W, Vinv, B.cam_idx, B.pt_idx, n_cameras)
+    diag_S = Ul - w_vinv_wt_diag(B.W, Vinv, B.cam_idx, B.pt_idx, n_cameras, axis_name)
     Minv = jnp.linalg.inv(diag_S)
 
     def precond(r):
         return jnp.einsum("cij,cj->ci", Minv, r)
 
     dx_cam, cg_iters = pcg(matvec, b, precond, max_iters=cg_max_iters, tol=cg_tol)
-    dx_pt = back_substitute(B, Vinv, dx_cam)
+    dx_pt = back_substitute(B, Vinv, dx_cam, axis_name)
     return dx_cam, dx_pt, cg_iters
