@@ -164,25 +164,49 @@ def make_bal_like_problem(
         cams_gt[i, 7] = -1e-7 * rng.random()
         cams_gt[i, 8] = 1e-13 * rng.random()
 
-    # visibility: each point sees a window of cameras nearest in loop angle
+    # visibility: candidate cameras = angular window around each point, then
+    # keep only candidates where the point is genuinely visible (in front of
+    # the camera — BAL looks down −z — and projecting to a sane pixel)
     pt_ang = np.arctan2(points_gt[:, 2], points_gt[:, 0])
     cam_ang = np.arctan2(centers[:, 2], centers[:, 0])
-    obs_base = int(np.ceil(n_obs / n_pts))
-    k_obs = min(max(obs_base, 2), n_cams)
+    k_target = max(int(np.ceil(n_obs / n_pts)), 2)
+    k_window = min(n_cams, 2 * k_target + 4)
     cam_order = np.argsort(cam_ang)
-    # nearest camera (by angle) per point, then a contiguous window around it
     nearest_pos = np.searchsorted(cam_ang[cam_order], pt_ang) % n_cams
-    offsets = np.arange(k_obs) - k_obs // 2
-    window = (nearest_pos[:, None] + offsets[None, :]) % n_cams  # (P, k)
-    cam_idx = cam_order[window].reshape(-1).astype(np.int32)
-    pt_idx = np.repeat(np.arange(n_pts, dtype=np.int32), k_obs)
+    offsets = np.arange(k_window) - k_window // 2
+    window = cam_order[(nearest_pos[:, None] + offsets[None, :]) % n_cams]  # (P, k)
 
-    # trim to the exact observation count (drop random extras)
+    cand_cam = window.reshape(-1).astype(np.int32)
+    cand_pt = np.repeat(np.arange(n_pts, dtype=np.int32), k_window)
+    cam_flat = cams_gt[cand_cam]
+    X_flat = points_gt[cand_pt]
+    aa, t = cam_flat[:, 0:3], cam_flat[:, 3:6]
+    theta = np.linalg.norm(aa, axis=1, keepdims=True)
+    k_ax = aa / np.where(theta < 1e-12, 1.0, theta)
+    c, s = np.cos(theta), np.sin(theta)
+    P = (X_flat * c + np.cross(k_ax, X_flat) * s
+         + k_ax * np.sum(k_ax * X_flat, 1, keepdims=True) * (1 - c) + t)
+    uv = _project_bal_np(cam_flat, X_flat)
+    valid = (P[:, 2] < -1.0) & (np.abs(uv) < 1500.0).all(axis=1)
+
+    # rank candidates per point: valid first, then nearest in window order
+    valid_mat = valid.reshape(n_pts, k_window)
+    rank = np.argsort(~valid_mat, axis=1, kind="stable")[:, :k_target]  # (P, k_t)
+    chosen_valid = np.take_along_axis(valid_mat, rank, axis=1)
+    cam_idx = np.take_along_axis(window, rank, axis=1)[chosen_valid].astype(np.int32)
+    pt_idx = np.repeat(np.arange(n_pts, dtype=np.int32), k_target).reshape(
+        n_pts, k_target)[chosen_valid]
+
+    # match the exact observation count: trim extras or duplicate valid pairs
     total = cam_idx.shape[0]
     if total > n_obs:
         keep = rng.permutation(total)[:n_obs]
         keep.sort()
         cam_idx, pt_idx = cam_idx[keep], pt_idx[keep]
+    elif total < n_obs:
+        extra = rng.integers(0, total, n_obs - total)
+        cam_idx = np.concatenate([cam_idx, cam_idx[extra]])
+        pt_idx = np.concatenate([pt_idx, pt_idx[extra]])
 
     obs = _project_bal_np(cams_gt[cam_idx], points_gt[pt_idx])
     obs += pixel_noise * rng.standard_normal(obs.shape)
