@@ -42,6 +42,10 @@ def main():
 
     import jax
 
+    from tpu_ba.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from tpu_ba.bench.cpu_baseline import solve_cpu_baseline
     from tpu_ba.core import LMConfig
     from tpu_ba.io.bal import make_bal_like_problem

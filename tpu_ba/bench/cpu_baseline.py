@@ -15,6 +15,15 @@ from __future__ import annotations
 import time
 
 import numpy as np
+
+
+def _cross_np(a, b):
+    """Component-wise cross product — numpy's np.cross has a pathologically
+    slow path for large (N, 3) inputs in this environment (~1000x)."""
+    ax, ay, az = a[..., 0], a[..., 1], a[..., 2]
+    bx, by, bz = b[..., 0], b[..., 1], b[..., 2]
+    import numpy as _np
+    return _np.stack([ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx], axis=-1)
 import scipy.sparse as sp
 import scipy.sparse.linalg as spla
 
@@ -26,7 +35,7 @@ def _rodrigues_np(aa, X):
     small = theta < 1e-12
     k = aa / np.where(small, 1.0, theta)
     c, s = np.cos(theta), np.sin(theta)
-    R = X * c + np.cross(k, X) * s + k * np.sum(k * X, 1, keepdims=True) * (1 - c)
+    R = X * c + _cross_np(k, X) * s + k * np.sum(k * X, 1, keepdims=True) * (1 - c)
     return np.where(small, X, R)
 
 

@@ -22,6 +22,15 @@ import os
 
 import numpy as np
 
+
+def _cross_np(a, b):
+    """Component-wise cross product — numpy's np.cross has a pathologically
+    slow path for large (N, 3) inputs in this environment (~1000x)."""
+    ax, ay, az = a[..., 0], a[..., 1], a[..., 2]
+    bx, by, bz = b[..., 0], b[..., 1], b[..., 2]
+    import numpy as _np
+    return _np.stack([ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx], axis=-1)
+
 from tpu_ba.core import BAProblem, make_problem
 
 # (n_cameras, n_points, n_observations) of the canonical BAL problems named in
@@ -107,7 +116,7 @@ def normalize_bal(cams, pts):
             k = aa / theta
             Rmed = (
                 med * np.cos(theta)
-                + np.cross(k, med) * np.sin(theta)
+                + _cross_np(k, med) * np.sin(theta)
                 + k * (k @ med) * (1 - np.cos(theta))
             )
         cams[c, 3:6] = scale * (cams[c, 3:6] + Rmed)
@@ -135,6 +144,21 @@ def make_bal_like_problem(
     if name not in BAL_DATASET_DIMS:
         raise KeyError(f"unknown BAL stand-in {name!r}; have {sorted(BAL_DATASET_DIMS)}")
     n_cams, n_pts, n_obs = BAL_DATASET_DIMS[name]
+
+    # disk cache: generation is deterministic but numpy on this VM is slow
+    cache_key = f"balstandin_{name}_s{seed}_n{pixel_noise}_c{cam_perturb}_p{point_perturb}"
+    cache_path = os.path.join("data", "cache", cache_key + ".npz")
+    if os.path.exists(cache_path):
+        z = np.load(cache_path)
+        problem = make_problem(
+            z["cams0"].astype(dtype), z["points0"].astype(dtype),
+            z["obs"].astype(dtype), z["cam_idx"], z["pt_idx"],
+            model="bal", dtype=dtype, pad_multiple=pad_multiple,
+        )
+        ground_truth = {"cameras": z["cams_gt"], "points": z["points_gt"],
+                        "pixel_noise": pixel_noise, "n_obs": int(z["cam_idx"].shape[0])}
+        return problem, ground_truth
+
     rng = np.random.default_rng(seed)
 
     # trajectory: closed loop of radius R with lateral wobble
@@ -184,7 +208,7 @@ def make_bal_like_problem(
     theta = np.linalg.norm(aa, axis=1, keepdims=True)
     k_ax = aa / np.where(theta < 1e-12, 1.0, theta)
     c, s = np.cos(theta), np.sin(theta)
-    P = (X_flat * c + np.cross(k_ax, X_flat) * s
+    P = (X_flat * c + _cross_np(k_ax, X_flat) * s
          + k_ax * np.sum(k_ax * X_flat, 1, keepdims=True) * (1 - c) + t)
     uv = _project_bal_np(cam_flat, X_flat)
     valid = (P[:, 2] < -1.0) & (np.abs(uv) < 1500.0).all(axis=1)
@@ -215,6 +239,12 @@ def make_bal_like_problem(
     cams0[:, 0:3] += cam_perturb * rng.standard_normal((n_cams, 3))
     cams0[:, 3:6] += cam_perturb * 5.0 * rng.standard_normal((n_cams, 3))
     points0 = points_gt + point_perturb * rng.standard_normal((n_pts, 3))
+
+    os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+    np.savez_compressed(
+        cache_path, cams0=cams0, points0=points0, obs=obs,
+        cam_idx=cam_idx, pt_idx=pt_idx, cams_gt=cams_gt, points_gt=points_gt,
+    )
 
     problem = make_problem(
         cams0.astype(dtype), points0.astype(dtype), obs.astype(dtype),

@@ -14,6 +14,15 @@ from __future__ import annotations
 
 import numpy as np
 
+
+def _cross_np(a, b):
+    """Component-wise cross product — numpy's np.cross has a pathologically
+    slow path for large (N, 3) inputs in this environment (~1000x)."""
+    ax, ay, az = a[..., 0], a[..., 1], a[..., 2]
+    bx, by, bz = b[..., 0], b[..., 1], b[..., 2]
+    import numpy as _np
+    return _np.stack([ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx], axis=-1)
+
 from tpu_ba.core import BAProblem, make_problem
 
 
@@ -24,14 +33,14 @@ def _look_at_rotation(center, target, up=(0.0, 1.0, 0.0)):
     d = d / np.linalg.norm(d)
     z_cam = -d
     up = np.asarray(up, float)
-    x_cam = np.cross(up, z_cam)
+    x_cam = _cross_np(up, z_cam)
     n = np.linalg.norm(x_cam)
     if n < 1e-8:  # view parallel to up: pick another up
         up = np.array([1.0, 0.0, 0.0])
-        x_cam = np.cross(up, z_cam)
+        x_cam = _cross_np(up, z_cam)
         n = np.linalg.norm(x_cam)
     x_cam /= n
-    y_cam = np.cross(z_cam, x_cam)
+    y_cam = _cross_np(z_cam, x_cam)
     return np.stack([x_cam, y_cam, z_cam])
 
 
@@ -67,7 +76,7 @@ def _project_bal_np(cams, X):
     small = theta < 1e-12
     k = aa / np.where(small, 1.0, theta)
     c, s = np.cos(theta), np.sin(theta)
-    P = X * c + np.cross(k, X) * s + k * np.sum(k * X, 1, keepdims=True) * (1 - c) + t
+    P = X * c + _cross_np(k, X) * s + k * np.sum(k * X, 1, keepdims=True) * (1 - c) + t
     P = np.where(small, X + t, P)
     p = -P[:, 0:2] / P[:, 2:3]
     s2 = np.sum(p * p, 1, keepdims=True)

@@ -1,0 +1,359 @@
+"""Incremental structure-from-motion driver.
+
+Capability parity: the reference's full pipeline — "feature detect+match →
+two-view init → triangulate → PnP register → windowed/global BA"
+(BASELINE.json:5,10; SURVEY.md §2.1 R6, §3.2b). Architecture per SURVEY.md
+§3.2b: the frame loop and track bookkeeping are host-side (scene growth is
+inherently data-dependent), while every compute stage — detection,
+matching, RANSAC (E and PnP), triangulation, and the windowed/global BA —
+is a jitted, shape-static kernel; keypoint counts are fixed (top-K) so the
+jit cache is hit once per stage for the whole sequence.
+
+Convention bridge: the SfM stages work in +z pinhole normalized coordinates;
+BA runs on the BAL model via the D = diag(−1,−1,1) conjugation
+(R_bal = D·R, t_bal = D·t, pixels centered at the principal point) — see
+tpu_ba/geometry/cameras.py for the BAL model.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_ba.core import LMConfig, make_problem
+from tpu_ba.geometry.rotations import aa_to_matrix, matrix_to_aa
+from tpu_ba.sfm.features import detect_harris, describe_patches
+from tpu_ba.sfm.matching import match_descriptors
+from tpu_ba.sfm.pnp import pnp_ransac
+from tpu_ba.sfm.triangulate import triangulate_pairwise
+from tpu_ba.sfm.twoview import estimate_essential_ransac, decompose_essential
+from tpu_ba.solver.lm import solve
+
+_D_FLIP = np.diag([-1.0, -1.0, 1.0])
+
+
+@dataclasses.dataclass
+class SfMConfig:
+    max_corners: int = 512
+    ransac_hypotheses: int = 2048
+    essential_thresh: float = 5e-6     # squared Sampson dist, normalized coords (~0.6px)
+    pnp_thresh: float = 2e-4           # squared reproj, normalized coords (~4px)
+    min_pnp_inliers: int = 8
+    ba_window: int = 6                 # windowed BA over the last N frames
+    ba_iters: int = 8
+    final_ba_iters: int = 30
+    seed: int = 0
+
+
+@dataclasses.dataclass
+class SfMResult:
+    poses: np.ndarray          # (F, 6) [aa, t] +z pinhole convention
+    points: np.ndarray         # (P, 3)
+    track_frame: np.ndarray    # (O,) frame index per observation
+    track_point: np.ndarray    # (O,) point index per observation
+    track_xy: np.ndarray       # (O, 2) pixel observation
+    registered: np.ndarray     # (F,) bool
+    final_cost: float
+    report: dict
+
+
+def _normalize(xy, K):
+    fx, fy, cx, cy = K
+    return (xy - np.array([cx, cy])) / np.array([fx, fy])
+
+
+def _to_bal_camera(aa, t, f):
+    """(+z pinhole pose, focal) → 9-param BAL camera (k1=k2=0)."""
+    R = np.asarray(aa_to_matrix(jnp.asarray(aa)))
+    Rb = _D_FLIP @ R
+    tb = _D_FLIP @ np.asarray(t)
+    aab = np.asarray(matrix_to_aa(jnp.asarray(Rb)))
+    return np.concatenate([aab, tb, [f, 0.0, 0.0]])
+
+
+def _from_bal_camera(cam):
+    Rb = np.asarray(aa_to_matrix(jnp.asarray(cam[0:3])))
+    R = _D_FLIP @ Rb
+    t = _D_FLIP @ cam[3:6]
+    return np.asarray(matrix_to_aa(jnp.asarray(R))), t
+
+
+def _bundle_adjust(poses, points, obs_f, obs_p, obs_xy, K, frames_subset,
+                   iters, registered, prune_px: float = 6.0):
+    """Run BA over the given frame subset (and the points they see).
+
+    Returns updated (poses, points). Gauge: the first frame of the subset is
+    re-anchored after the solve (solution is gauge-equivalent).
+    """
+    fx, fy, cx, cy = K
+    f_avg = 0.5 * (fx + fy)
+    sel = np.isin(obs_f, frames_subset) & registered[obs_f]
+    if sel.sum() < 12:
+        return poses, points, np.ones(obs_f.shape[0], bool)
+    fsub = np.asarray(sorted(set(obs_f[sel].tolist())))
+    fmap = {f: i for i, f in enumerate(fsub)}
+    psub = np.asarray(sorted(set(obs_p[sel].tolist())))
+    pmap = {p: i for i, p in enumerate(psub)}
+
+    cams = np.stack([_to_bal_camera(poses[f, 0:3], poses[f, 3:6], f_avg) for f in fsub])
+    pts = points[psub]
+    ci = np.asarray([fmap[f] for f in obs_f[sel]], np.int32)
+    pi = np.asarray([pmap[p] for p in obs_p[sel]], np.int32)
+    uv = (obs_xy[sel] - np.array([cx, cy]))  # centered pixels
+
+    problem = make_problem(cams.astype(np.float32), pts.astype(np.float32),
+                           uv.astype(np.float32), ci, pi,
+                           pad_multiple=256)
+    cfg = LMConfig(max_iters=iters, linear_solver="schur_pcg",
+                   cg_max_iters=50, cg_tol=1e-3, init_lambda=1e-3,
+                   robust_kind=1, robust_scale=2.0)  # Huber, ~2px
+    res = solve(problem, cfg)
+    new_cams = np.asarray(res.cameras, np.float64)
+    new_pts = np.asarray(res.points, np.float64)
+
+    for f in fsub:
+        aa, t = _from_bal_camera(new_cams[fmap[f]])
+        poses[f, 0:3] = aa
+        poses[f, 3:6] = t
+    points[psub] = new_pts
+
+    # prune gross-outlier observations (wrong associations poison later BA)
+    from tpu_ba.residuals.reprojection import residuals_bal
+    r = np.asarray(residuals_bal(
+        jnp.asarray(new_cams, jnp.float32), jnp.asarray(new_pts, jnp.float32),
+        jnp.asarray(uv, jnp.float32), ci, pi))
+    bad_local = np.sum(r * r, axis=1) > prune_px ** 2
+    keep = np.ones(obs_f.shape[0], bool)
+    sel_idx = np.where(sel)[0]
+    keep[sel_idx[bad_local]] = False
+    return poses, points, keep
+
+
+def run_incremental_sfm(frames, K, config: SfMConfig | None = None) -> SfMResult:
+    """Full incremental SfM on a grayscale image sequence.
+
+    frames: (F, H, W) float array; K: (fx, fy, cx, cy).
+    """
+    cfg = config or SfMConfig()
+    F = frames.shape[0]
+    key = jax.random.PRNGKey(cfg.seed)
+
+    # 1. detect + describe all frames (jitted per frame, static shapes)
+    kps, scores, descs = [], [], []
+    for f in range(F):
+        img = jnp.asarray(frames[f], jnp.float32)
+        xy, sc = detect_harris(img, max_corners=cfg.max_corners)
+        d = describe_patches(img, xy)
+        kps.append(np.asarray(xy))
+        scores.append(np.asarray(sc))
+        descs.append(d)
+
+    # 2. match consecutive frames
+    matches = []  # per pair: (idx2 (K,), valid (K,))
+    for f in range(F - 1):
+        idx2, val = match_descriptors(descs[f], descs[f + 1],
+                                      jnp.asarray(scores[f]), jnp.asarray(scores[f + 1]))
+        matches.append((np.asarray(idx2), np.asarray(val)))
+
+    # 3. two-view initialization from frames (0, 1)
+    idx2, val = matches[0]
+    x1 = _normalize(kps[0], K)
+    x2 = _normalize(kps[1][idx2], K)
+    key, k1 = jax.random.split(key)
+    E, inl, n_inl = estimate_essential_ransac(
+        k1, jnp.asarray(x1, jnp.float32), jnp.asarray(x2, jnp.float32),
+        jnp.asarray(val), n_hypotheses=cfg.ransac_hypotheses,
+        inlier_thresh=cfg.essential_thresh)
+    R1, t1, _ = decompose_essential(E, jnp.asarray(x1, jnp.float32),
+                                    jnp.asarray(x2, jnp.float32), inl)
+    R1, t1, inl = np.asarray(R1), np.asarray(t1), np.asarray(inl)
+
+    poses = np.zeros((F, 6))
+    registered = np.zeros(F, bool)
+    registered[0] = registered[1] = True
+    poses[1, 0:3] = np.asarray(matrix_to_aa(jnp.asarray(R1)))
+    poses[1, 3:6] = t1
+
+    # triangulate the inlier matches of the init pair
+    eye34 = np.concatenate([np.eye(3), np.zeros((3, 1))], axis=1)
+    P2 = np.concatenate([R1, t1[:, None]], axis=1)
+    sel = np.where(inl)[0]
+    Pi = np.broadcast_to(eye34, (len(sel), 3, 4))
+    Pj = np.broadcast_to(P2, (len(sel), 3, 4))
+    X = np.asarray(triangulate_pairwise(
+        jnp.asarray(Pi, jnp.float32), jnp.asarray(Pj, jnp.float32),
+        jnp.asarray(x1[sel], jnp.float32), jnp.asarray(x2[sel], jnp.float32)))
+    depth_ok = (X[:, 2] > 1e-3) & (X @ R1[2] + t1[2] > 1e-3) & np.isfinite(X).all(1)
+    sel = sel[depth_ok]
+    X = X[depth_ok]
+
+    points = list(X)
+    # kp_to_point[f][k] = point id observed by keypoint k of frame f
+    kp_to_point = [dict() for _ in range(F)]
+    obs_f, obs_p, obs_xy = [], [], []
+    point_desc = []  # descriptor at creation: used for 2D-3D map matching
+    descs_np = [np.asarray(d) for d in descs]
+    for n, s in enumerate(sel):
+        kp_to_point[0][s] = n
+        kp_to_point[1][idx2[s]] = n
+        obs_f += [0, 1]
+        obs_p += [n, n]
+        obs_xy += [kps[0][s], kps[1][idx2[s]]]
+        point_desc.append(descs_np[1][idx2[s]])
+
+    report = {"init_inliers": int(n_inl), "init_points": len(points), "pnp": []}
+
+    # 4. incremental registration
+    for f in range(2, F):
+        idx2, val = matches[f - 1]
+        # 2D-3D correspondences: match the map's point descriptors directly
+        # against this frame's descriptors (robust to broken frame chains)
+        map_cap = cfg.max_corners * 8
+        n_map = min(len(point_desc), map_cap)
+        Dmap = np.zeros((map_cap, descs_np[0].shape[1]), np.float32)
+        Dmap[:n_map] = np.asarray(point_desc[:n_map], np.float32)
+        map_score = np.full(map_cap, -1.0, np.float32)
+        map_score[:n_map] = 1.0
+        m_idx2, m_val = match_descriptors(
+            jnp.asarray(Dmap), descs[f],
+            jnp.asarray(map_score), jnp.asarray(scores[f]), ratio=0.85)
+        m_idx2 = np.asarray(m_idx2)
+        m_val = np.asarray(m_val)
+        corr = {pid: int(m_idx2[pid]) for pid in range(n_map) if m_val[pid]}
+        # union with chain correspondences through frame f-1's tracks (these
+        # are adjacent-frame matches, usually the cleanest)
+        for k_prev, pid in kp_to_point[f - 1].items():
+            if val[k_prev]:
+                corr[pid] = int(idx2[k_prev])
+        c3d = sorted(corr)
+        c2d = [corr[pid] for pid in c3d]
+        if len(c3d) < cfg.min_pnp_inliers:
+            report["pnp"].append({"frame": f, "registered": False,
+                                  "reason": f"only {len(c3d)} 2d-3d"})
+            continue
+        Xc = np.asarray([points[p] for p in c3d])
+        xc = _normalize(kps[f][np.asarray(c2d)], K)
+        # pad to static RANSAC shape
+        Kmax = cfg.max_corners
+        Xp = np.zeros((Kmax, 3)); Xp[: len(c3d)] = Xc
+        xp = np.zeros((Kmax, 2)); xp[: len(c3d)] = xc
+        vp = np.zeros(Kmax, bool); vp[: len(c3d)] = True
+        key, k1 = jax.random.split(key)
+        aa, t, inl_p, n_in = pnp_ransac(
+            k1, jnp.asarray(Xp, jnp.float32), jnp.asarray(xp, jnp.float32),
+            jnp.asarray(vp), n_hypotheses=cfg.ransac_hypotheses,
+            inlier_thresh=cfg.pnp_thresh)
+        n_in = int(n_in)
+        if n_in < cfg.min_pnp_inliers:
+            report["pnp"].append({"frame": f, "registered": False,
+                                  "reason": f"{n_in} pnp inliers"})
+            continue
+        poses[f, 0:3], poses[f, 3:6] = np.asarray(aa), np.asarray(t)
+        registered[f] = True
+        inl_p = np.asarray(inl_p)
+
+        # record observations of matched existing points in frame f; refresh
+        # the point's descriptor to its freshest appearance
+        for j, (pid, k_new) in enumerate(zip(c3d, c2d)):
+            if inl_p[j]:
+                kp_to_point[f][k_new] = pid
+                obs_f.append(f); obs_p.append(pid); obs_xy.append(kps[f][k_new])
+                point_desc[pid] = descs_np[f][k_new]
+
+        # triangulate brand-new tracks between the latest registered earlier
+        # frame and f (consecutive matches only exist for f-1; require it)
+        prev_f = f - 1
+        if registered[prev_f]:
+            new_prev, new_cur = [], []
+            for k_prev in range(cfg.max_corners):
+                if val[k_prev] and k_prev not in kp_to_point[prev_f] \
+                        and idx2[k_prev] not in kp_to_point[f]:
+                    new_prev.append(k_prev)
+                    new_cur.append(idx2[k_prev])
+            if new_prev:
+                Ra = np.asarray(aa_to_matrix(jnp.asarray(poses[prev_f, 0:3])))
+                Rb_ = np.asarray(aa_to_matrix(jnp.asarray(poses[f, 0:3])))
+                Pa = np.concatenate([Ra, poses[prev_f, 3:6][:, None]], 1)
+                Pb = np.concatenate([Rb_, poses[f, 3:6][:, None]], 1)
+                xa = _normalize(kps[prev_f][np.asarray(new_prev)], K)
+                xb = _normalize(kps[f][np.asarray(new_cur)], K)
+                Xn = np.asarray(triangulate_pairwise(
+                    jnp.asarray(np.broadcast_to(Pa, (len(new_prev), 3, 4)), jnp.float32),
+                    jnp.asarray(np.broadcast_to(Pb, (len(new_prev), 3, 4)), jnp.float32),
+                    jnp.asarray(xa, jnp.float32), jnp.asarray(xb, jnp.float32)))
+                za = Xn @ Ra[2] + poses[prev_f, 5]
+                zb = Xn @ Rb_[2] + poses[f, 5]
+                # reprojection gate in both views (normalized coords)
+                Pa_c = Xn @ Ra.T + poses[prev_f, 3:6]
+                Pb_c = Xn @ Rb_.T + poses[f, 3:6]
+                ea = np.sum((Pa_c[:, 0:2] / np.maximum(Pa_c[:, 2:3], 1e-6) - xa) ** 2, 1)
+                eb = np.sum((Pb_c[:, 0:2] / np.maximum(Pb_c[:, 2:3], 1e-6) - xb) ** 2, 1)
+                fx_, fy_ = K[0], K[1]
+                gate = (2.0 / (0.5 * (fx_ + fy_))) ** 2  # ~2px
+                ok = (za > 1e-3) & (zb > 1e-3) & np.isfinite(Xn).all(1) \
+                    & (np.linalg.norm(Xn, axis=1) < 1e4) & (ea < gate) & (eb < gate)
+                for i in np.where(ok)[0]:
+                    pid = len(points)
+                    points.append(Xn[i])
+                    kp_to_point[prev_f][new_prev[i]] = pid
+                    kp_to_point[f][new_cur[i]] = pid
+                    obs_f += [prev_f, f]
+                    obs_p += [pid, pid]
+                    obs_xy += [kps[prev_f][new_prev[i]], kps[f][new_cur[i]]]
+                    point_desc.append(descs_np[f][new_cur[i]])
+
+        report["pnp"].append({"frame": f, "registered": True, "inliers": n_in})
+
+        # windowed BA (+ gross-outlier observation pruning)
+        pts_arr = np.asarray(points)
+        window = [w for w in range(max(0, f - cfg.ba_window + 1), f + 1)
+                  if registered[w]]
+        poses, pts_arr, keep = _bundle_adjust(
+            poses, pts_arr, np.asarray(obs_f), np.asarray(obs_p),
+            np.asarray(obs_xy), K, np.asarray(window), cfg.ba_iters, registered)
+        points = list(pts_arr)
+        if not keep.all():
+            obs_f = [o for o, k in zip(obs_f, keep) if k]
+            obs_p = [o for o, k in zip(obs_p, keep) if k]
+            obs_xy = [o for o, k in zip(obs_xy, keep) if k]
+
+    # 5. final global BA (two rounds: prune then re-solve)
+    pts_arr = np.asarray(points)
+    all_frames = np.where(registered)[0]
+    for _round in range(2):
+        poses, pts_arr, keep = _bundle_adjust(
+            poses, pts_arr, np.asarray(obs_f), np.asarray(obs_p),
+            np.asarray(obs_xy), K, all_frames, cfg.final_ba_iters, registered)
+        if keep.all():
+            break
+        obs_f = [o for o, k in zip(obs_f, keep) if k]
+        obs_p = [o for o, k in zip(obs_p, keep) if k]
+        obs_xy = [o for o, k in zip(obs_xy, keep) if k]
+
+    # final cost
+    from tpu_ba.residuals.reprojection import residuals_bal
+    fx, fy, cx, cy = K
+    f_avg = 0.5 * (fx + fy)
+    sel = registered[np.asarray(obs_f)]
+    fsub = {f: i for i, f in enumerate(sorted(set(np.asarray(obs_f)[sel].tolist())))}
+    cams = np.stack([_to_bal_camera(poses[f, 0:3], poses[f, 3:6], f_avg)
+                     for f in fsub])
+    ci = np.asarray([fsub[f] for f in np.asarray(obs_f)[sel]], np.int32)
+    pi = np.asarray(obs_p)[sel].astype(np.int32)
+    uv = np.asarray(obs_xy)[sel] - np.array([cx, cy])
+    r = residuals_bal(jnp.asarray(cams, jnp.float32), jnp.asarray(pts_arr, jnp.float32),
+                      jnp.asarray(uv, jnp.float32), ci, pi)
+    final_cost = float(0.5 * jnp.sum(r * r))
+    report["n_points"] = len(points)
+    report["n_obs"] = len(obs_f)
+    report["registered_frames"] = int(registered.sum())
+
+    return SfMResult(
+        poses=poses, points=pts_arr,
+        track_frame=np.asarray(obs_f), track_point=np.asarray(obs_p),
+        track_xy=np.asarray(obs_xy), registered=registered,
+        final_cost=final_cost, report=report,
+    )
