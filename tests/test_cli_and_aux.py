@@ -126,3 +126,29 @@ def test_sequence_readers(tmp_path):
     frames, gt = read_kitti_sequence(str(kitti))
     assert frames.shape == (2, 24, 30)
     assert gt["K"][0] == 700
+
+
+def test_native_bal_parser_matches_python(tmp_path):
+    from tpu_ba.io.bal import load_bal, save_bal
+    from tpu_ba.io.native import parse_bal_native
+    from tpu_ba.io.synthetic import make_synthetic_problem
+
+    problem, _ = make_synthetic_problem(6, 50, obs_per_point=3, pad_multiple=8,
+                                        dtype=np.float64)
+    path = str(tmp_path / "prob.txt")
+    save_bal(path, problem)
+    parsed = parse_bal_native(path)
+    if parsed is None:  # no toolchain in this environment
+        import pytest
+
+        pytest.skip("native parser unavailable")
+    cams, pts, obs, ci, pi = parsed
+    ref = load_bal(path, dtype=np.float64, pad_multiple=8, use_native=False)
+    np.testing.assert_allclose(cams, np.asarray(ref.cameras), rtol=1e-14)
+    np.testing.assert_allclose(pts, np.asarray(ref.points), rtol=1e-14)
+    n = ref.n_obs
+    # note: ref arrays are camera-sorted; re-sort parsed identically
+    order = np.argsort(ci, kind="stable")
+    np.testing.assert_allclose(obs[order], np.asarray(ref.obs_2d[:n]), rtol=1e-12)
+    assert np.array_equal(ci[order], np.asarray(ref.cam_idx[:n]))
+    assert np.array_equal(pi[order], np.asarray(ref.pt_idx[:n]))

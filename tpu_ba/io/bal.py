@@ -44,28 +44,40 @@ BAL_DATASET_DIMS = {
 
 
 def load_bal(path: str, *, dtype=np.float32, pad_multiple: int = 1024,
-             normalize: bool = False) -> BAProblem:
-    """Parse a BAL text file (optionally gzipped) into a BAProblem."""
-    if path.endswith(".gz"):
-        import gzip
+             normalize: bool = False, use_native: bool = True) -> BAProblem:
+    """Parse a BAL text file (optionally gzipped) into a BAProblem.
 
-        with gzip.open(path, "rt") as fh:
-            text = fh.read()
+    Tries the native C++ parser (tpu_ba/io/_native — mmap + hand-rolled
+    float scanner, ~100x faster on Venice-sized files) and falls back to the
+    Python tokenizer, which remains the oracle.
+    """
+    parsed = None
+    if use_native:
+        from tpu_ba.io.native import parse_bal_native
+
+        parsed = parse_bal_native(path)
+    if parsed is not None:
+        cams, pts, obs_2d, cam_idx, pt_idx = parsed
     else:
-        with open(path) as fh:
-            text = fh.read()
-    vals = np.array(text.split(), dtype=np.float64)
-    n_cams, n_pts, n_obs = int(vals[0]), int(vals[1]), int(vals[2])
-    off = 3
-    obs_block = vals[off: off + 4 * n_obs].reshape(n_obs, 4)
-    off += 4 * n_obs
-    cams = vals[off: off + 9 * n_cams].reshape(n_cams, 9)
-    off += 9 * n_cams
-    pts = vals[off: off + 3 * n_pts].reshape(n_pts, 3)
+        if path.endswith(".gz"):
+            import gzip
 
-    cam_idx = obs_block[:, 0].astype(np.int32)
-    pt_idx = obs_block[:, 1].astype(np.int32)
-    obs_2d = obs_block[:, 2:4]
+            with gzip.open(path, "rt") as fh:
+                text = fh.read()
+        else:
+            with open(path) as fh:
+                text = fh.read()
+        vals = np.array(text.split(), dtype=np.float64)
+        n_cams, n_pts, n_obs = int(vals[0]), int(vals[1]), int(vals[2])
+        off = 3
+        obs_block = vals[off: off + 4 * n_obs].reshape(n_obs, 4)
+        off += 4 * n_obs
+        cams = vals[off: off + 9 * n_cams].reshape(n_cams, 9)
+        off += 9 * n_cams
+        pts = vals[off: off + 3 * n_pts].reshape(n_pts, 3)
+        cam_idx = obs_block[:, 0].astype(np.int32)
+        pt_idx = obs_block[:, 1].astype(np.int32)
+        obs_2d = obs_block[:, 2:4]
     if normalize:
         cams, pts = normalize_bal(cams, pts)
     return make_problem(cams, pts, obs_2d, cam_idx, pt_idx, model="bal",
