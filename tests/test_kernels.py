@@ -57,3 +57,38 @@ def test_plan_rejects_unsorted():
     with pytest.raises(ValueError):
         build_segsum_plan(np.array([3, 1, 2] + [4] * 1021, dtype=np.int32), 5,
                           tile=1024)
+
+
+def test_pallas_solver_path_matches_segment_path():
+    """linear_solver='schur_pcg_pallas' (interpret on CPU) == 'schur_pcg'."""
+    import dataclasses
+
+    from tpu_ba.core import LMConfig
+    from tpu_ba.io.synthetic import make_synthetic_problem
+    from tpu_ba.solver.lm import solve
+
+    problem, _ = make_synthetic_problem(10, 100, obs_per_point=4,
+                                        pixel_noise=0.5, seed=11,
+                                        dtype=np.float64, pad_multiple=1024)
+    cfg = LMConfig(max_iters=8, cg_max_iters=200, cg_tol=1e-12)
+    res_ref = solve(problem, cfg)
+    import tpu_ba.kernels.segsum as ss
+    # run the pallas path through the interpreter on CPU
+    orig = ss.sorted_segment_sum
+
+    def interp(values, keys, n_out, plan=None, **kw):
+        kw["interpret"] = True
+        return orig(values, keys, n_out, plan=plan, **kw)
+
+    ss.sorted_segment_sum = interp
+    try:
+        import tpu_ba.solver.plans as plans_mod
+        import importlib
+        importlib.reload(plans_mod)  # rebind the monkeypatched function
+        cfg_p = dataclasses.replace(cfg, linear_solver="schur_pcg_pallas")
+        res_p = solve(problem, cfg_p)
+    finally:
+        ss.sorted_segment_sum = orig
+        importlib.reload(plans_mod)
+    np.testing.assert_allclose(float(res_p.cost), float(res_ref.cost), rtol=1e-8)
+    assert int(res_p.iterations) == int(res_ref.iterations)

@@ -105,8 +105,13 @@ def make_problem(
         raise ValueError(f"pad_obs_to={pad_obs_to} < n_obs={n_obs}")
     mask = np.concatenate([np.ones(n_obs, bool), np.zeros(pad, bool)])
     obs_2d = np.concatenate([obs_2d, np.zeros((pad, 2), obs_2d.dtype)])
-    cam_idx = np.concatenate([cam_idx, np.zeros(pad, np.int32)])
-    pt_idx = np.concatenate([pt_idx, np.zeros(pad, np.int32)])
+    # padding rows repeat the LAST index: keeps cam_idx sorted (the Pallas
+    # segment-sum plans require sortedness) and stays in-bounds for gathers;
+    # the mask zeroes their contributions
+    last_c = cam_idx[-1] if n_obs else np.int32(0)
+    last_p = pt_idx[-1] if n_obs else np.int32(0)
+    cam_idx = np.concatenate([cam_idx, np.full(pad, last_c, np.int32)])
+    pt_idx = np.concatenate([pt_idx, np.full(pad, last_p, np.int32)])
 
     return BAProblem(
         cameras=jnp.asarray(cameras, dtype),

@@ -45,7 +45,8 @@ def _robust_cost(r, kind, scale, mask, axis_name=None):
 
 
 def lm_loop(cams0, pts0, obs, ci, pi, mask, n_cameras: int, n_points: int,
-            config: LMConfig, axis_name: str | None = None) -> LMResult:
+            config: LMConfig, axis_name: str | None = None,
+            plans=None) -> LMResult:
     """The LM trust-region loop over (possibly shard-local) observation
     arrays. cams0/pts0 are replicated; obs/ci/pi/mask are the local shard
     when ``axis_name`` is set. Returns a fully replicated LMResult."""
@@ -67,7 +68,7 @@ def lm_loop(cams0, pts0, obs, ci, pi, mask, n_cameras: int, n_points: int,
                 B, lam,
                 cg_max_iters=config.cg_max_iters, cg_tol=config.cg_tol,
                 diag_floor=config.diag_floor, diag_ceil=config.diag_ceil,
-                axis_name=axis_name,
+                axis_name=axis_name, plans=plans,
             )
         raise ValueError(f"unknown linear_solver {config.linear_solver!r}")
 
@@ -91,7 +92,7 @@ def lm_loop(cams0, pts0, obs, ci, pi, mask, n_cameras: int, n_points: int,
 
         r, Jc, Jp = jacobian_blocks_bal(cams, pts, obs, ci, pi, mask)
         B = assemble(r, Jc, Jp, ci, pi, n_cameras, n_points, kind, scale, mask,
-                     axis_name)
+                     axis_name, plans)
 
         gnorm = jnp.maximum(jnp.max(jnp.abs(B.gc)), jnp.max(jnp.abs(B.gp)))
 
@@ -159,19 +160,31 @@ def lm_loop(cams0, pts0, obs, ci, pi, mask, n_cameras: int, n_points: int,
 
 
 @partial(jax.jit, static_argnums=(1,))
-def _solve_jit(problem: BAProblem, config: LMConfig) -> LMResult:
+def _solve_jit(problem: BAProblem, config: LMConfig, plans=None) -> LMResult:
     return lm_loop(
         problem.cameras, problem.points, problem.obs_2d,
         problem.cam_idx, problem.pt_idx, problem.mask,
         problem.cameras.shape[0], problem.points.shape[0], config,
+        plans=plans,
     )
 
 
 def solve(problem: BAProblem, config: LMConfig | None = None) -> LMResult:
     """Bundle-adjust ``problem`` with Levenberg–Marquardt. jit-compiled,
-    shape-static; repeated calls with same-shaped problems reuse the cache."""
+    shape-static; repeated calls with same-shaped problems reuse the cache.
+
+    ``linear_solver="schur_pcg_pallas"`` builds the per-problem Pallas
+    schedules (tpu_ba/solver/plans.py) on the host and routes every
+    segment-reduction through the one-hot MXU kernel.
+    """
     if config is None:
         config = LMConfig()
     if problem.model != "bal":
         raise ValueError(f"solve() currently handles the 'bal' model; got {problem.model!r}")
-    return _solve_jit(problem, config)
+    plans = None
+    if config.linear_solver == "schur_pcg_pallas":
+        from tpu_ba.solver.plans import build_plans
+
+        plans = build_plans(problem.cam_idx, problem.pt_idx,
+                            problem.cameras.shape[0], problem.points.shape[0])
+    return _solve_jit(problem, config, plans)

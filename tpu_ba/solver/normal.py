@@ -66,7 +66,7 @@ def apply_irls_weights(r, Jc, Jp, robust_kind: int, robust_scale: float, mask=No
 
 def assemble(r, Jc, Jp, cam_idx, pt_idx, n_cameras: int, n_points: int,
              robust_kind: int = 0, robust_scale: float = 1.0, mask=None,
-             axis_name: str | None = None) -> BlockSystem:
+             axis_name: str | None = None, plans=None) -> BlockSystem:
     """Assemble the block system from per-observation residuals/Jacobians.
 
     All inputs already have masked rows zeroed (see jacobian_blocks_*); the
@@ -81,16 +81,33 @@ def assemble(r, Jc, Jp, cam_idx, pt_idx, n_cameras: int, n_points: int,
     r, Jc, Jp, cost = apply_irls_weights(r, Jc, Jp, robust_kind, robust_scale, mask)
 
     # per-observation outer products (batched; MXU/VPU friendly)
+    O = r.shape[0]
+    dc = Jc.shape[-1]
     UtU = jnp.einsum("oki,okj->oij", Jc, Jc)   # (O, dc, dc)
     VtV = jnp.einsum("oki,okj->oij", Jp, Jp)   # (O, 3, 3)
     W = jnp.einsum("oki,okj->oij", Jc, Jp)     # (O, dc, 3)
     gco = jnp.einsum("oki,ok->oi", Jc, r)      # (O, dc)
     gpo = jnp.einsum("oki,ok->oi", Jp, r)      # (O, 3)
 
-    U = jax.ops.segment_sum(UtU, cam_idx, n_cameras, indices_are_sorted=True)
-    gc = jax.ops.segment_sum(gco, cam_idx, n_cameras, indices_are_sorted=True)
-    V = jax.ops.segment_sum(VtV, pt_idx, n_points)
-    gp = jax.ops.segment_sum(gpo, pt_idx, n_points)
+    if plans is not None and axis_name is None:
+        from tpu_ba.solver.plans import cam_segsum, pt_segsum
+
+        # one packed kernel call per side (camera: dc²+dc lanes, point: 12)
+        cam_packed = cam_segsum(
+            plans, jnp.concatenate([UtU.reshape(O, dc * dc), gco], axis=1),
+            cam_idx, n_cameras)
+        U = cam_packed[:, : dc * dc].reshape(n_cameras, dc, dc)
+        gc = cam_packed[:, dc * dc:]
+        pt_packed = pt_segsum(
+            plans, jnp.concatenate([VtV.reshape(O, 9), gpo], axis=1),
+            pt_idx, n_points)
+        V = pt_packed[:, :9].reshape(n_points, 3, 3)
+        gp = pt_packed[:, 9:]
+    else:
+        U = jax.ops.segment_sum(UtU, cam_idx, n_cameras, indices_are_sorted=True)
+        gc = jax.ops.segment_sum(gco, cam_idx, n_cameras, indices_are_sorted=True)
+        V = jax.ops.segment_sum(VtV, pt_idx, n_points)
+        gp = jax.ops.segment_sum(gpo, pt_idx, n_points)
 
     if axis_name is not None:
         U = jax.lax.psum(U, axis_name)
