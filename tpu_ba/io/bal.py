@@ -142,6 +142,8 @@ def make_bal_like_problem(
     pixel_noise: float = 1.0,
     cam_perturb: float = 0.02,
     point_perturb: float = 0.05,
+    intrinsics_perturb: float = 0.0,
+    outlier_frac: float = 0.0,
     seed: int = 0,
     dtype=np.float32,
     pad_multiple: int = 1024,
@@ -158,7 +160,8 @@ def make_bal_like_problem(
     n_cams, n_pts, n_obs = BAL_DATASET_DIMS[name]
 
     # disk cache: generation is deterministic but numpy on this VM is slow
-    cache_key = f"balstandin_{name}_s{seed}_n{pixel_noise}_c{cam_perturb}_p{point_perturb}"
+    cache_key = (f"balstandin_{name}_s{seed}_n{pixel_noise}_c{cam_perturb}"
+                 f"_p{point_perturb}_i{intrinsics_perturb}_o{outlier_frac}")
     cache_path = os.path.join("data", "cache", cache_key + ".npz")
     if os.path.exists(cache_path):
         z = np.load(cache_path)
@@ -246,10 +249,18 @@ def make_bal_like_problem(
 
     obs = _project_bal_np(cams_gt[cam_idx], points_gt[pt_idx])
     obs += pixel_noise * rng.standard_normal(obs.shape)
+    if outlier_frac > 0:
+        n_out = int(outlier_frac * obs.shape[0])
+        out_idx = rng.choice(obs.shape[0], n_out, replace=False)
+        obs[out_idx] += rng.normal(0.0, 40.0, (n_out, 2))  # gross outliers
 
     cams0 = cams_gt.copy()
     cams0[:, 0:3] += cam_perturb * rng.standard_normal((n_cams, 3))
     cams0[:, 3:6] += cam_perturb * 5.0 * rng.standard_normal((n_cams, 3))
+    if intrinsics_perturb > 0:
+        cams0[:, 6] *= 1.0 + intrinsics_perturb * rng.standard_normal(n_cams)
+        cams0[:, 7] = 0.0  # start distortion from zero: must be re-estimated
+        cams0[:, 8] = 0.0
     points0 = points_gt + point_perturb * rng.standard_normal((n_pts, 3))
 
     os.makedirs(os.path.dirname(cache_path), exist_ok=True)
