@@ -36,6 +36,10 @@ def _add_ba(sub):
     p.add_argument("--robust-scale", type=float, default=2.0)
     p.add_argument("--sharded", action="store_true",
                    help="run over all local devices (observation-sharded)")
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host: coordinator address host:port")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--metrics", default=None, help="JSONL metrics output path")
     p.add_argument("--checkpoint", default=None, help="checkpoint dir to write")
     p.add_argument("--resume", default=None, help="checkpoint dir to resume from")
@@ -121,7 +125,9 @@ def cmd_ba(args) -> int:
     t0 = time.time()
     if args.sharded:
         from tpu_ba.sharding import make_mesh, shard_problem, solve_sharded
+        from tpu_ba.sharding.multihost import init_distributed
 
+        init_distributed(args.coordinator, args.num_processes, args.process_id)
         mesh = make_mesh()
         res = solve_sharded(shard_problem(problem, mesh), cfg, mesh)
     else:
