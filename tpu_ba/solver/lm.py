@@ -88,6 +88,12 @@ def lm_loop(cams0, pts0, obs, ci, pi, mask, n_cameras: int, n_points: int,
         return jnp.logical_and(it < config.max_iters, jnp.logical_not(done))
 
     def body(state):
+        """One *linearization*: assemble once, then retry λ until a step is
+        accepted (or budget/λ-ceiling reached). Rejected retries reuse the
+        linearization — they only redo the linear solve and a cost eval —
+        which is exactly equivalent to relinearizing at unchanged params,
+        but skips the Jacobian+assembly work (two-level trust-region loop).
+        Each λ try counts as one iteration (one linear solve)."""
         cams, pts, lam, nu, cost, it, n_acc, _, _, hist = state
 
         r, Jc, Jp = jacobian_blocks_bal(cams, pts, obs, ci, pi, mask)
@@ -95,55 +101,74 @@ def lm_loop(cams0, pts0, obs, ci, pi, mask, n_cameras: int, n_points: int,
                      axis_name, plans)
 
         gnorm = jnp.maximum(jnp.max(jnp.abs(B.gc)), jnp.max(jnp.abs(B.gp)))
-
-        dxc, dxp, _cg = linear_solve(B, lam)
-
-        new_cams = cams + dxc
-        new_pts = pts + dxp
-        new_cost = cost_fn(new_cams, new_pts)
-
-        # predicted reduction ½(λ δᵀDδ − δᵀg) with D the damping diagonal
         dU = jnp.clip(jnp.diagonal(B.U, axis1=-2, axis2=-1),
                       config.diag_floor, config.diag_ceil)
         dV = jnp.clip(jnp.diagonal(B.V, axis1=-2, axis2=-1),
                       config.diag_floor, config.diag_ceil)
-        dTDd = jnp.sum(dU * dxc * dxc) + jnp.sum(dV * dxp * dxp)
-        dTg = jnp.sum(B.gc * dxc) + jnp.sum(B.gp * dxp)
-        pred = 0.5 * (lam * dTDd - dTg)
 
-        rho_gain = (cost - new_cost) / jnp.maximum(pred, jnp.asarray(1e-30, dtype))
-        accept = jnp.logical_and(new_cost < cost, jnp.isfinite(new_cost))
-        accept = jnp.logical_and(accept, pred > 0)
+        def try_cond(tstate):
+            lam, nu, it, accepted, *_ = tstate
+            go = jnp.logical_and(jnp.logical_not(accepted), it < config.max_iters)
+            return jnp.logical_and(go, lam < config.max_lambda)
 
-        cams = jnp.where(accept, new_cams, cams)
-        pts = jnp.where(accept, new_pts, pts)
-        cost_next = jnp.where(accept, new_cost, cost)
+        def try_body(tstate):
+            lam, nu, it, _, dxc0, dxp0, nc0, np0, cn0, rg0, hist = tstate
+            dxc, dxp, _cg = linear_solve(B, lam)
+            new_cams = cams + dxc
+            new_pts = pts + dxp
+            new_cost = cost_fn(new_cams, new_pts)
 
-        factor = jnp.maximum(
-            jnp.asarray(1.0 / 3.0, dtype),
-            1.0 - (2.0 * rho_gain - 1.0) ** 3,
-        )
-        lam_acc = jnp.clip(lam * factor, config.min_lambda, config.max_lambda)
-        lam_rej = jnp.clip(lam * nu, config.min_lambda, config.max_lambda)
-        lam = jnp.where(accept, lam_acc, lam_rej)
-        nu = jnp.where(accept, jnp.asarray(2.0, dtype), nu * 2.0)
+            # predicted reduction ½(λ δᵀDδ − δᵀg) with D the damping diagonal
+            dTDd = jnp.sum(dU * dxc * dxc) + jnp.sum(dV * dxp * dxp)
+            dTg = jnp.sum(B.gc * dxc) + jnp.sum(B.gp * dxp)
+            pred = 0.5 * (lam * dTDd - dTg)
 
-        # convergence tests
+            rho_gain = (cost - new_cost) / jnp.maximum(
+                pred, jnp.asarray(1e-30, dtype))
+            accept = jnp.logical_and(new_cost < cost, jnp.isfinite(new_cost))
+            accept = jnp.logical_and(accept, pred > 0)
+
+            factor = jnp.maximum(
+                jnp.asarray(1.0 / 3.0, dtype),
+                1.0 - (2.0 * rho_gain - 1.0) ** 3,
+            )
+            lam_acc = jnp.clip(lam * factor, config.min_lambda, config.max_lambda)
+            lam_rej = jnp.clip(lam * nu, config.min_lambda, config.max_lambda)
+            lam_next = jnp.where(accept, lam_acc, lam_rej)
+            nu_next = jnp.where(accept, jnp.asarray(2.0, dtype), nu * 2.0)
+            hist = hist.at[it].set(jnp.where(accept, new_cost, cost))
+            return (lam_next, nu_next, it + 1, accept,
+                    dxc, dxp, new_cams, new_pts, new_cost, rho_gain, hist)
+
+        zero_c = jnp.zeros_like(cams)
+        zero_p = jnp.zeros_like(pts)
+        (lam, nu, it, accepted, dxc, dxp, new_cams, new_pts,
+         new_cost, rho_gain, hist) = jax.lax.while_loop(
+            try_cond, try_body,
+            (lam, nu, it, jnp.asarray(False),
+             zero_c, zero_p, cams, pts, cost, jnp.asarray(0.0, dtype), hist))
+
+        cams = jnp.where(accepted, new_cams, cams)
+        pts = jnp.where(accepted, new_pts, pts)
+        cost_next = jnp.where(accepted, new_cost, cost)
+
+        # convergence tests (evaluated on the last attempted step)
         step_norm = jnp.sqrt(jnp.sum(dxc * dxc) + jnp.sum(dxp * dxp))
         x_norm = jnp.sqrt(jnp.sum(cams * cams) + jnp.sum(pts * pts))
         rel_decrease = (cost - cost_next) / jnp.maximum(cost, 1e-30)
         done = gnorm < config.grad_tol
         done = jnp.logical_or(
-            done, jnp.logical_and(accept, rel_decrease < config.cost_rel_tol)
+            done, jnp.logical_and(accepted, rel_decrease < config.cost_rel_tol)
         )
         done = jnp.logical_or(
-            done, step_norm < config.step_tol * (x_norm + config.step_tol)
+            done,
+            jnp.logical_and(accepted,
+                            step_norm < config.step_tol * (x_norm + config.step_tol)),
         )
         done = jnp.logical_or(done, lam >= config.max_lambda)
 
-        hist = hist.at[it].set(cost_next)
-        n_acc = n_acc + accept.astype(jnp.int32)
-        return (cams, pts, lam, nu, cost_next, it + 1, n_acc, gnorm, done, hist)
+        n_acc = n_acc + accepted.astype(jnp.int32)
+        return (cams, pts, lam, nu, cost_next, it, n_acc, gnorm, done, hist)
 
     cams, pts, lam, nu, cost, it, n_acc, gnorm, done, hist = jax.lax.while_loop(
         cond, body, init
