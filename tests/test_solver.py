@@ -148,3 +148,14 @@ def test_gauge_invariance():
                        problem.cam_idx, problem.pt_idx, problem.mask)
     c1 = float(jnp.sum(r1 * r1))
     np.testing.assert_allclose(c1, c0, rtol=1e-8)
+
+
+def test_inv_spd_small_matches_linalg():
+    from tpu_ba.solver.batched_linalg import inv_spd_small
+
+    rng = np.random.default_rng(7)
+    for k in (3, 6, 9):
+        A = rng.standard_normal((40, k, k))
+        M = A @ A.transpose(0, 2, 1) + k * np.eye(k)
+        np.testing.assert_allclose(np.asarray(inv_spd_small(jnp.asarray(M))),
+                                   np.linalg.inv(M), rtol=1e-9, atol=1e-10)

@@ -134,10 +134,13 @@ def solve_schur_pcg(B: BlockSystem, lam, *, cg_max_iters: int, cg_tol: float,
     matvec = make_schur_matvec(Ul, B.W, Vinv, B.cam_idx, B.pt_idx, n_points,
                                axis_name, plans)
 
-    # exact block-Jacobi preconditioner: inv of diag(S)
+    # exact block-Jacobi preconditioner: inv of diag(S); batched unrolled
+    # Gauss-Jordan (jnp.linalg.inv lowers to slow pivoted LU on TPU)
+    from tpu_ba.solver.batched_linalg import inv_spd_small
+
     diag_S = Ul - w_vinv_wt_diag(B.W, Vinv, B.cam_idx, B.pt_idx, n_cameras,
                                  axis_name, plans)
-    Minv = jnp.linalg.inv(diag_S)
+    Minv = inv_spd_small(diag_S)
 
     def precond(r):
         return jnp.einsum("cij,cj->ci", Minv, r)
