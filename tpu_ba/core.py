@@ -161,7 +161,7 @@ class LMConfig:
     data_fields=[
         "cameras", "points", "cost", "initial_cost", "lam",
         "iterations", "accepted", "grad_inf_norm", "converged",
-        "cost_history",
+        "cost_history", "lam_history", "cg_history",
     ],
     meta_fields=[],
 )
@@ -181,3 +181,5 @@ class LMResult:
     grad_inf_norm: jax.Array
     converged: jax.Array
     cost_history: jax.Array
+    lam_history: jax.Array   # λ used at each linear solve
+    cg_history: jax.Array    # CG iterations used at each linear solve

@@ -74,13 +74,16 @@ def lm_loop(cams0, pts0, obs, ci, pi, mask, n_cameras: int, n_points: int,
 
     cost0 = cost_fn(cams0, pts0)
     hist0 = jnp.full((config.max_iters,), cost0, dtype)
+    lam_hist0 = jnp.zeros((config.max_iters,), dtype)
+    cg_hist0 = jnp.zeros((config.max_iters,), jnp.int32)
 
-    # state: cams, pts, lam, nu, cost, it, n_accepted, gnorm, done, hist
+    # state: cams, pts, lam, nu, cost, it, n_accepted, gnorm, done, histories
     init = (
         cams0, pts0,
         jnp.asarray(config.init_lambda, dtype), jnp.asarray(2.0, dtype),
         cost0, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
-        jnp.asarray(jnp.inf, dtype), jnp.asarray(False), hist0,
+        jnp.asarray(jnp.inf, dtype), jnp.asarray(False),
+        (hist0, lam_hist0, cg_hist0),
     )
 
     def cond(state):
@@ -94,7 +97,8 @@ def lm_loop(cams0, pts0, obs, ci, pi, mask, n_cameras: int, n_points: int,
         which is exactly equivalent to relinearizing at unchanged params,
         but skips the Jacobian+assembly work (two-level trust-region loop).
         Each λ try counts as one iteration (one linear solve)."""
-        cams, pts, lam, nu, cost, it, n_acc, _, _, hist = state
+        cams, pts, lam, nu, cost, it, n_acc, _, _, hists = state
+        hist, lam_hist, cg_hist = hists
 
         r, Jc, Jp = jacobian_blocks_bal(cams, pts, obs, ci, pi, mask)
         B = assemble(r, Jc, Jp, ci, pi, n_cameras, n_points, kind, scale, mask,
@@ -112,7 +116,8 @@ def lm_loop(cams0, pts0, obs, ci, pi, mask, n_cameras: int, n_points: int,
             return jnp.logical_and(go, lam < config.max_lambda)
 
         def try_body(tstate):
-            lam, nu, it, _, dxc0, dxp0, nc0, np0, cn0, rg0, hist = tstate
+            lam, nu, it, _, dxc0, dxp0, nc0, np0, cn0, rg0, hists = tstate
+            hist, lam_hist, cg_hist = hists
             dxc, dxp, _cg = linear_solve(B, lam)
             new_cams = cams + dxc
             new_pts = pts + dxp
@@ -137,16 +142,20 @@ def lm_loop(cams0, pts0, obs, ci, pi, mask, n_cameras: int, n_points: int,
             lam_next = jnp.where(accept, lam_acc, lam_rej)
             nu_next = jnp.where(accept, jnp.asarray(2.0, dtype), nu * 2.0)
             hist = hist.at[it].set(jnp.where(accept, new_cost, cost))
+            lam_hist = lam_hist.at[it].set(lam)
+            cg_hist = cg_hist.at[it].set(_cg)
             return (lam_next, nu_next, it + 1, accept,
-                    dxc, dxp, new_cams, new_pts, new_cost, rho_gain, hist)
+                    dxc, dxp, new_cams, new_pts, new_cost, rho_gain,
+                    (hist, lam_hist, cg_hist))
 
         zero_c = jnp.zeros_like(cams)
         zero_p = jnp.zeros_like(pts)
         (lam, nu, it, accepted, dxc, dxp, new_cams, new_pts,
-         new_cost, rho_gain, hist) = jax.lax.while_loop(
+         new_cost, rho_gain, hists) = jax.lax.while_loop(
             try_cond, try_body,
             (lam, nu, it, jnp.asarray(False),
-             zero_c, zero_p, cams, pts, cost, jnp.asarray(0.0, dtype), hist))
+             zero_c, zero_p, cams, pts, cost, jnp.asarray(0.0, dtype),
+             (hist, lam_hist, cg_hist)))
 
         cams = jnp.where(accepted, new_cams, cams)
         pts = jnp.where(accepted, new_pts, pts)
@@ -168,11 +177,12 @@ def lm_loop(cams0, pts0, obs, ci, pi, mask, n_cameras: int, n_points: int,
         done = jnp.logical_or(done, lam >= config.max_lambda)
 
         n_acc = n_acc + accepted.astype(jnp.int32)
-        return (cams, pts, lam, nu, cost_next, it, n_acc, gnorm, done, hist)
+        return (cams, pts, lam, nu, cost_next, it, n_acc, gnorm, done, hists)
 
-    cams, pts, lam, nu, cost, it, n_acc, gnorm, done, hist = jax.lax.while_loop(
+    cams, pts, lam, nu, cost, it, n_acc, gnorm, done, hists = jax.lax.while_loop(
         cond, body, init
     )
+    hist, lam_hist, cg_hist = hists
     # forward-fill history for iterations that never ran
     idx = jnp.arange(config.max_iters)
     hist = jnp.where(idx < it, hist, cost)
@@ -180,7 +190,7 @@ def lm_loop(cams0, pts0, obs, ci, pi, mask, n_cameras: int, n_points: int,
     return LMResult(
         cameras=cams, points=pts, cost=cost, initial_cost=cost0, lam=lam,
         iterations=it, accepted=n_acc, grad_inf_norm=gnorm, converged=done,
-        cost_history=hist,
+        cost_history=hist, lam_history=lam_hist, cg_history=cg_hist,
     )
 
 
