@@ -72,3 +72,38 @@ def test_posegraph_weighted():
     c0 = pose_graph_cost(jnp.asarray(init), jnp.asarray(ei), jnp.asarray(ej),
                          jnp.asarray(meas), jnp.asarray(sqrt_info))
     assert float(cost) < float(c0)
+
+
+def test_sfm_pose_graph_bridge():
+    """Drifted SfM trajectory + a ground-truth loop-closure edge → pose
+    graph pulls the trajectory back toward truth."""
+    import dataclasses as dc
+
+    import numpy as np
+
+    from tpu_ba.sfm.incremental import SfMResult
+    from tpu_ba.sfm.posegraph_bridge import refine_sfm_with_pose_graph
+
+    rng = np.random.default_rng(5)
+    n = 12
+    gt = np.zeros((n, 6))
+    for i in range(n):
+        ang = 2 * np.pi * i / n
+        gt[i] = [0, ang, 0, np.cos(ang), 0, np.sin(ang)]
+
+    # accumulate drift: each pose progressively off
+    drift = np.cumsum(0.02 * rng.standard_normal((n, 6)), axis=0)
+    drift[0] = 0
+    poses = gt + drift
+
+    res = SfMResult(poses=poses, points=np.zeros((1, 3)),
+                    track_frame=np.zeros(1, int), track_point=np.zeros(1, int),
+                    track_xy=np.zeros((1, 2)), registered=np.ones(n, bool),
+                    final_cost=0.0, report={})
+    # loop closure: true relative pose between last and first frames
+    z = se3_relative(jnp.asarray(gt[n - 1]), jnp.asarray(gt[0]))
+    refined, cost, iters = refine_sfm_with_pose_graph(
+        res, extra_edges=[(n - 1, 0, np.asarray(z))])
+    err_before = np.linalg.norm(poses[-1, 3:6] - gt[-1, 3:6])
+    err_after = np.linalg.norm(refined.poses[-1, 3:6] - gt[-1, 3:6])
+    assert err_after < err_before, (err_before, err_after)

@@ -159,3 +159,23 @@ def test_inv_spd_small_matches_linalg():
         M = A @ A.transpose(0, 2, 1) + k * np.eye(k)
         np.testing.assert_allclose(np.asarray(inv_spd_small(jnp.asarray(M))),
                                    np.linalg.inv(M), rtol=1e-9, atol=1e-10)
+
+
+def test_degenerate_geometry_stays_finite():
+    """A point at a camera's optical center (z=0 in camera frame) must not
+    poison the solve with NaNs — guarded divisions + accept/reject keep the
+    state finite (SURVEY.md §5 'NaN guards')."""
+    from tpu_ba.geometry.cameras import camera_center_bal
+
+    problem, gt = make_synthetic_problem(6, 50, obs_per_point=3,
+                                         pixel_noise=0.5, seed=13,
+                                         dtype=np.float64, pad_multiple=16)
+    pts = np.array(problem.points)
+    center = np.asarray(camera_center_bal(problem.cameras[0]))
+    pts[0] = center  # exactly at the optical center
+    pts[1] = center + 1e-9
+    problem = dataclasses.replace(problem, points=jnp.asarray(pts))
+    res = solve(problem, LMConfig(max_iters=10))
+    assert np.isfinite(np.asarray(res.cameras)).all()
+    assert np.isfinite(np.asarray(res.points)).all()
+    assert np.isfinite(float(res.cost))
