@@ -38,6 +38,9 @@ def main():
                          "bench finishes; per-iteration time is the quantity "
                          "compared, conservatively favoring the baseline)")
     ap.add_argument("--quick", action="store_true", help="small problem, few iters")
+    ap.add_argument("--solver", default="schur_dense",
+                    help="linear solver: schur_dense | schur_dense_pallas | "
+                         "schur_pcg | schur_pcg_pallas")
     args = ap.parse_args()
 
     import jax
@@ -64,7 +67,7 @@ def main():
     gen_s = time.time() - t0
     n_obs = gt["n_obs"]
 
-    cfg = LMConfig(max_iters=args.max_iters, linear_solver="schur_pcg",
+    cfg = LMConfig(max_iters=args.max_iters, linear_solver=args.solver,
                    cg_max_iters=args.cg_iters, cg_tol=args.cg_tol,
                    init_lambda=1e-4)
 
@@ -113,6 +116,7 @@ def main():
 
     detail = {
         "problem": args.problem,
+        "solver": args.solver,
         "n_cameras": problem.n_cameras,
         "n_points": problem.n_points,
         "n_obs": n_obs,

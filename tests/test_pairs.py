@@ -1,0 +1,125 @@
+"""Explicit dense-Schur (covisibility-pair) solver vs the oracles.
+
+The pair plan + dense S path (tpu_ba/solver/pairs.py) must reproduce the
+full dense solve and the matrix-free Schur/PCG solve exactly (fp64 CPU),
+for every damping regime and with robust kernels active.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from tpu_ba.core import LMConfig
+from tpu_ba.io.synthetic import make_synthetic_problem
+from tpu_ba.jacobians import jacobian_blocks_bal
+from tpu_ba.solver.dense import solve_dense
+from tpu_ba.solver.lm import solve
+from tpu_ba.solver.normal import assemble, damp_blocks
+from tpu_ba.solver.pairs import (build_dense_schur, build_pair_plan,
+                                 precompute_pair_data, solve_schur_dense)
+from tpu_ba.solver.schur import inv3x3
+
+
+def _system(seed=0, n_cams=4, n_pts=25, robust=0):
+    problem, _ = make_synthetic_problem(
+        n_cams, n_pts, obs_per_point=3, pixel_noise=0.5,
+        seed=seed, dtype=np.float64, pad_multiple=8,
+    )
+    r, Jc, Jp = jacobian_blocks_bal(
+        problem.cameras, problem.points, problem.obs_2d,
+        problem.cam_idx, problem.pt_idx, problem.mask,
+    )
+    B = assemble(r, Jc, Jp, problem.cam_idx, problem.pt_idx,
+                 n_cams, n_pts, robust, 1.0, problem.mask)
+    return problem, B
+
+
+def _plan(problem):
+    return build_pair_plan(
+        problem.cam_idx, problem.pt_idx, problem.n_obs,
+        problem.cameras.shape[0], problem.points.shape[0], pad_multiple=16)
+
+
+def test_dense_schur_matrix_matches_reference_loop():
+    """S built from the pair plan equals the brute-force S = Uλ − W Vλ⁻¹ Wᵀ."""
+    problem, B = _system()
+    pairs = _plan(problem)
+    lam = 1e-3
+    S2, diag_S = build_dense_schur(B, lam, pairs, precompute_pair_data(B, pairs),
+                                   1e-6, 1e32)
+
+    # brute force via dense scatter of W blocks
+    C = problem.cameras.shape[0]
+    P = problem.points.shape[0]
+    dc = B.U.shape[-1]
+    Ul, Vl = damp_blocks(B, lam, 1e-6, 1e32)
+    Wfull = np.zeros((C * dc, P * 3))
+    W = np.asarray(B.W)
+    for o in range(W.shape[0]):
+        if not bool(problem.mask[o]):
+            continue
+        c, p = int(B.cam_idx[o]), int(B.pt_idx[o])
+        Wfull[c * dc:(c + 1) * dc, p * 3:(p + 1) * 3] += W[o]
+    Vinv = np.asarray(inv3x3(Vl))
+    Vinv_full = np.zeros((P * 3, P * 3))
+    for p in range(P):
+        Vinv_full[p * 3:(p + 1) * 3, p * 3:(p + 1) * 3] = Vinv[p]
+    Ufull = np.zeros((C * dc, C * dc))
+    for c in range(C):
+        Ufull[c * dc:(c + 1) * dc, c * dc:(c + 1) * dc] = np.asarray(Ul)[c]
+    S_ref = Ufull - Wfull @ Vinv_full @ Wfull.T
+
+    np.testing.assert_allclose(np.asarray(S2), S_ref, rtol=1e-9, atol=1e-9)
+    for c in range(C):
+        np.testing.assert_allclose(
+            np.asarray(diag_S)[c], S_ref[c * dc:(c + 1) * dc, c * dc:(c + 1) * dc],
+            rtol=1e-9, atol=1e-9)
+
+
+def test_schur_dense_solve_matches_dense_oracle():
+    problem, B = _system(seed=1)
+    pairs = _plan(problem)
+    for lam in [1e-6, 1e-3, 1e0]:
+        dxc_d, dxp_d = solve_dense(B, lam)
+        dxc, dxp, _ = solve_schur_dense(
+            B, lam, pairs, cg_max_iters=500, cg_tol=1e-14,
+            diag_floor=1e-6, diag_ceil=1e32)
+        np.testing.assert_allclose(dxc, dxc_d, rtol=1e-6, atol=1e-9)
+        np.testing.assert_allclose(dxp, dxp_d, rtol=1e-6, atol=1e-9)
+
+
+def test_lm_with_schur_dense_converges_like_schur_pcg():
+    problem, gt = make_synthetic_problem(
+        8, 120, obs_per_point=4, pixel_noise=0.5, seed=3,
+        dtype=np.float64, pad_multiple=64)
+    cfg_pcg = LMConfig(max_iters=15, linear_solver="schur_pcg",
+                       cg_max_iters=200, cg_tol=1e-12)
+    cfg_dense = LMConfig(max_iters=15, linear_solver="schur_dense",
+                         cg_max_iters=200, cg_tol=1e-12)
+    res_pcg = solve(problem, cfg_pcg)
+    res_dense = solve(problem, cfg_dense)
+    assert float(res_dense.cost) <= float(res_pcg.cost) * 1.01
+    np.testing.assert_allclose(float(res_dense.cost), float(res_pcg.cost),
+                               rtol=1e-4)
+
+
+def test_schur_dense_with_robust_kernel():
+    problem, B = _system(seed=2, robust=1)  # Huber
+    pairs = _plan(problem)
+    dxc_d, dxp_d = solve_dense(B, 1e-3)
+    dxc, dxp, _ = solve_schur_dense(
+        B, 1e-3, pairs, cg_max_iters=500, cg_tol=1e-14,
+        diag_floor=1e-6, diag_ceil=1e32)
+    np.testing.assert_allclose(dxc, dxc_d, rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(dxp, dxp_d, rtol=1e-6, atol=1e-9)
+
+
+def test_pair_plan_rejects_heavy_tracks():
+    problem, _ = make_synthetic_problem(
+        30, 10, obs_per_point=30, pixel_noise=0.5, seed=4,
+        dtype=np.float64, pad_multiple=8)
+    try:
+        build_pair_plan(problem.cam_idx, problem.pt_idx, problem.n_obs,
+                        30, 10, max_degree=8)
+        assert False, "expected ValueError for heavy tracks"
+    except ValueError as e:
+        assert "max_degree" in str(e)

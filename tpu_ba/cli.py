@@ -31,6 +31,10 @@ def _add_ba(sub):
     p.add_argument("--max-iters", type=int, default=50)
     p.add_argument("--cg-iters", type=int, default=50)
     p.add_argument("--cg-tol", type=float, default=1e-2)
+    p.add_argument("--solver", default="schur_pcg",
+                   choices=["dense", "schur_pcg", "schur_pcg_pallas",
+                            "schur_dense", "schur_dense_pallas"],
+                   help="linear solver for the LM inner step")
     p.add_argument("--robust", choices=["none", "huber", "cauchy", "arctan"],
                    default="none")
     p.add_argument("--robust-scale", type=float, default=2.0)
@@ -114,12 +118,13 @@ def cmd_ba(args) -> int:
             jnp_asarray(state["cameras"], np.float32),
             jnp_asarray(state["points"], np.float32))
 
-    overrides = {}
+    kwargs = dict(max_iters=args.max_iters, cg_max_iters=args.cg_iters,
+                  cg_tol=args.cg_tol, robust_kind=_robust_kind(args.robust),
+                  robust_scale=args.robust_scale,
+                  linear_solver=args.solver)
     if args.config:
-        overrides = json.load(open(args.config))
-    cfg = LMConfig(max_iters=args.max_iters, cg_max_iters=args.cg_iters,
-                   cg_tol=args.cg_tol, robust_kind=_robust_kind(args.robust),
-                   robust_scale=args.robust_scale, **overrides)
+        kwargs.update(json.load(open(args.config)))  # JSON wins over flags
+    cfg = LMConfig(**kwargs)
 
     log = MetricsLogger(args.metrics)
     t0 = time.time()

@@ -46,7 +46,7 @@ def _robust_cost(r, kind, scale, mask, axis_name=None):
 
 def lm_loop(cams0, pts0, obs, ci, pi, mask, n_cameras: int, n_points: int,
             config: LMConfig, axis_name: str | None = None,
-            plans=None) -> LMResult:
+            plans=None, pairs=None) -> LMResult:
     """The LM trust-region loop over (possibly shard-local) observation
     arrays. cams0/pts0 are replicated; obs/ci/pi/mask are the local shard
     when ``axis_name`` is set. Returns a fully replicated LMResult."""
@@ -57,12 +57,22 @@ def lm_loop(cams0, pts0, obs, ci, pi, mask, n_cameras: int, n_points: int,
         r = residuals_bal(cams, pts, obs, ci, pi, mask)
         return _robust_cost(r, kind, scale, mask, axis_name)
 
-    def linear_solve(B, lam):
+    def linear_solve(B, lam, pair_data=None):
         if config.linear_solver == "dense":
             if axis_name is not None:
                 raise ValueError("dense solver has no sharded path")
             dxc, dxp = dense_mod.solve_dense(B, lam, config.diag_floor, config.diag_ceil)
             return dxc, dxp, jnp.asarray(0, jnp.int32)
+        elif config.linear_solver in ("schur_dense", "schur_dense_pallas"):
+            if axis_name is not None:
+                raise ValueError("schur_dense has no sharded path; use schur_pcg")
+            from tpu_ba.solver import pairs as pairs_mod
+
+            return pairs_mod.solve_schur_dense(
+                B, lam, pairs, pair_data,
+                cg_max_iters=config.cg_max_iters, cg_tol=config.cg_tol,
+                diag_floor=config.diag_floor, diag_ceil=config.diag_ceil,
+            )
         elif config.linear_solver in ("schur_pcg", "schur_pcg_pallas"):
             return schur_mod.solve_schur_pcg(
                 B, lam,
@@ -103,6 +113,13 @@ def lm_loop(cams0, pts0, obs, ci, pi, mask, n_cameras: int, n_points: int,
         r, Jc, Jp = jacobian_blocks_bal(cams, pts, obs, ci, pi, mask)
         B = assemble(r, Jc, Jp, ci, pi, n_cameras, n_points, kind, scale, mask,
                      axis_name, plans)
+        # λ-free pair-space gathers, amortized over the λ-retry loop
+        if pairs is not None:
+            from tpu_ba.solver import pairs as pairs_mod
+
+            pair_data = pairs_mod.precompute_pair_data(B, pairs)
+        else:
+            pair_data = None
 
         gnorm = jnp.maximum(jnp.max(jnp.abs(B.gc)), jnp.max(jnp.abs(B.gp)))
         dU = jnp.clip(jnp.diagonal(B.U, axis1=-2, axis2=-1),
@@ -118,7 +135,7 @@ def lm_loop(cams0, pts0, obs, ci, pi, mask, n_cameras: int, n_points: int,
         def try_body(tstate):
             lam, nu, it, _, dxc0, dxp0, nc0, np0, cn0, rg0, hists = tstate
             hist, lam_hist, cg_hist = hists
-            dxc, dxp, _cg = linear_solve(B, lam)
+            dxc, dxp, _cg = linear_solve(B, lam, pair_data)
             new_cams = cams + dxc
             new_pts = pts + dxp
             new_cost = cost_fn(new_cams, new_pts)
@@ -195,12 +212,13 @@ def lm_loop(cams0, pts0, obs, ci, pi, mask, n_cameras: int, n_points: int,
 
 
 @partial(jax.jit, static_argnums=(1,))
-def _solve_jit(problem: BAProblem, config: LMConfig, plans=None) -> LMResult:
+def _solve_jit(problem: BAProblem, config: LMConfig, plans=None,
+               pairs=None) -> LMResult:
     return lm_loop(
         problem.cameras, problem.points, problem.obs_2d,
         problem.cam_idx, problem.pt_idx, problem.mask,
         problem.cameras.shape[0], problem.points.shape[0], config,
-        plans=plans,
+        plans=plans, pairs=pairs,
     )
 
 
@@ -211,15 +229,25 @@ def solve(problem: BAProblem, config: LMConfig | None = None) -> LMResult:
     ``linear_solver="schur_pcg_pallas"`` builds the per-problem Pallas
     schedules (tpu_ba/solver/plans.py) on the host and routes every
     segment-reduction through the one-hot MXU kernel.
+    ``linear_solver="schur_dense"`` builds the static covisibility-pair plan
+    (tpu_ba/solver/pairs.py) and solves on the explicit dense reduced camera
+    system; ``"schur_dense_pallas"`` additionally uses Pallas assembly.
     """
     if config is None:
         config = LMConfig()
     if problem.model != "bal":
         raise ValueError(f"solve() currently handles the 'bal' model; got {problem.model!r}")
     plans = None
-    if config.linear_solver == "schur_pcg_pallas":
+    pairs = None
+    if config.linear_solver in ("schur_pcg_pallas", "schur_dense_pallas"):
         from tpu_ba.solver.plans import build_plans
 
         plans = build_plans(problem.cam_idx, problem.pt_idx,
                             problem.cameras.shape[0], problem.points.shape[0])
-    return _solve_jit(problem, config, plans)
+    if config.linear_solver in ("schur_dense", "schur_dense_pallas"):
+        from tpu_ba.solver.pairs import build_pair_plan
+
+        pairs = build_pair_plan(problem.cam_idx, problem.pt_idx, problem.n_obs,
+                                problem.cameras.shape[0],
+                                problem.points.shape[0])
+    return _solve_jit(problem, config, plans, pairs)

@@ -1,0 +1,214 @@
+"""Explicit dense Schur complement via a static covisibility-pair plan.
+
+Capability parity: the reference's Schur-complement camera solve
+(BASELINE.json:5 "Schur-complement elimination of points"; SURVEY.md §2.1 R4)
+— here in the *explicit* form S = U_λ − W V_λ⁻¹ Wᵀ materialized as a dense
+(6C × 6C) matrix, the TPU-idiomatic choice for BAL-class problems
+(C ≤ a few thousand ⇒ S is a few hundred MB and its matvec is a single
+bandwidth-bound MXU matmul).
+
+Why explicit (measured on the target chip, scripts/gather_microbench.py):
+XLA gathers/scatters run at 4–8 GB/s on this TPU while dense matmul streams
+at ~100 GB/s — so the matrix-free matvec (two O-sized gathers + two
+segment-sums *per CG iteration*) loses to building S once per λ-retry and
+running CG on it. All λ-dependent work happens in *pair space* with zero
+gathers: the static plan enumerates, for every point p and every ordered
+observation pair (i, j) of p, the contribution W_i V_λ,p⁻¹ W_jᵀ to camera
+block (cam_i, cam_j) of S. The 3×3 point-block inverses are *recomputed per
+pair* (≈60 FLOPs each) instead of gathered per CG iteration — trading cheap
+VPU FLOPs for the gathers TPUs hate.
+
+Per linearization (λ-free, once): gather W and V blocks into pair order.
+Per λ-retry: damp + invert 3×3s in pair space → 6×6 pair products →
+one sorted segment-sum into dense S → block-Jacobi PCG on S.
+
+The matrix-free path (tpu_ba/solver/schur.py) remains the distributed and
+large-C fallback and the correctness oracle.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_ba.solver.batched_linalg import inv_spd_small
+from tpu_ba.solver.normal import BlockSystem, damp_blocks
+from tpu_ba.solver.schur import back_substitute, inv3x3, schur_rhs
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["pair_i", "pair_j", "pair_pt", "pair_key"],
+    meta_fields=["n_pairs", "n_cameras", "max_degree"],
+)
+@dataclasses.dataclass(frozen=True)
+class PairPlan:
+    """Static covisibility-pair schedule (row-sorted: key = ci·C + cj).
+
+    Padding pairs carry key == C² (a trash segment sliced off after the
+    reduction), so they never touch S regardless of their gathered values.
+    """
+
+    pair_i: jax.Array    # (Np,) int32 — observation index of the row side
+    pair_j: jax.Array    # (Np,) int32 — observation index of the column side
+    pair_pt: jax.Array   # (Np,) int32 — shared point id
+    pair_key: jax.Array  # (Np,) int32 — ci·C + cj, ascending; C² on padding
+    n_pairs: int         # padded pair count
+    n_cameras: int
+    max_degree: int
+
+
+def build_pair_plan(cam_idx, pt_idx, n_obs: int, n_cameras: int, n_points: int,
+                    *, max_degree: int = 64,
+                    pad_multiple: int = 2048) -> PairPlan:
+    """Host-side plan: enumerate all ordered observation pairs sharing a
+    point, sorted by camera-pair key. Raises if any point's track length
+    exceeds ``max_degree`` (quadratic pair blowup — use the matrix-free
+    solver for such problems until the hybrid path lands)."""
+    ci = np.asarray(cam_idx)[:n_obs].astype(np.int64)
+    pi = np.asarray(pt_idx)[:n_obs].astype(np.int64)
+
+    order = np.argsort(pi, kind="stable").astype(np.int64)
+    pi_sorted = pi[order]
+    deg = np.bincount(pi_sorted, minlength=n_points)
+    dmax = int(deg.max()) if deg.size else 0
+    if dmax > max_degree:
+        raise ValueError(
+            f"point track length {dmax} exceeds max_degree={max_degree}; "
+            "use linear_solver='schur_pcg' for this problem")
+    starts = np.concatenate([[0], np.cumsum(deg)])[:-1]
+
+    chunks_i, chunks_j, chunks_p = [], [], []
+    for d in range(1, dmax + 1):
+        pts = np.nonzero(deg == d)[0]
+        if pts.size == 0:
+            continue
+        base = starts[pts]                                   # (n_d,)
+        obsmat = order[base[:, None] + np.arange(d)[None, :]]  # (n_d, d)
+        ii = np.broadcast_to(obsmat[:, :, None], (pts.size, d, d)).reshape(-1)
+        jj = np.broadcast_to(obsmat[:, None, :], (pts.size, d, d)).reshape(-1)
+        pp = np.broadcast_to(pts[:, None, None], (pts.size, d, d)).reshape(-1)
+        chunks_i.append(ii)
+        chunks_j.append(jj)
+        chunks_p.append(pp)
+
+    pair_i = np.concatenate(chunks_i) if chunks_i else np.zeros(0, np.int64)
+    pair_j = np.concatenate(chunks_j) if chunks_j else np.zeros(0, np.int64)
+    pair_p = np.concatenate(chunks_p) if chunks_p else np.zeros(0, np.int64)
+
+    key = ci[pair_i] * n_cameras + ci[pair_j]
+    perm = np.argsort(key, kind="stable")
+    pair_i, pair_j, pair_p, key = (
+        pair_i[perm], pair_j[perm], pair_p[perm], key[perm])
+
+    np_real = pair_i.shape[0]
+    np_pad = _round_up(max(np_real, 1), pad_multiple)
+    pad = np_pad - np_real
+    fill_obs = max(n_obs - 1, 0)
+    pair_i = np.concatenate([pair_i, np.full(pad, fill_obs, np.int64)])
+    pair_j = np.concatenate([pair_j, np.full(pad, fill_obs, np.int64)])
+    pair_p = np.concatenate([pair_p, np.zeros(pad, np.int64)])
+    key = np.concatenate([key, np.full(pad, n_cameras * n_cameras, np.int64)])
+
+    return PairPlan(
+        pair_i=jnp.asarray(pair_i.astype(np.int32)),
+        pair_j=jnp.asarray(pair_j.astype(np.int32)),
+        pair_pt=jnp.asarray(pair_p.astype(np.int32)),
+        pair_key=jnp.asarray(key.astype(np.int32)),
+        n_pairs=int(np_pad),
+        n_cameras=int(n_cameras),
+        max_degree=int(dmax),
+    )
+
+
+def precompute_pair_data(B: BlockSystem, pairs: PairPlan):
+    """λ-free per-linearization gathers into pair order.
+
+    Returns (Wi, Wj, Vp): (Np,6,3), (Np,6,3), (Np,3,3). Done once per
+    linearization and reused across λ-retries (the expensive gathers are
+    amortized over the retry loop).
+    """
+    Wi = B.W[pairs.pair_i]
+    Wj = B.W[pairs.pair_j]
+    Vp = B.V[pairs.pair_pt]
+    return Wi, Wj, Vp
+
+
+def _damp_v_pair(Vp, lam, diag_floor, diag_ceil):
+    d = jnp.clip(jnp.diagonal(Vp, axis1=-2, axis2=-1), diag_floor, diag_ceil)
+    return Vp + lam * d[..., None] * jnp.eye(3, dtype=Vp.dtype)
+
+
+def build_dense_schur(B: BlockSystem, lam, pairs: PairPlan, pair_data,
+                      diag_floor: float, diag_ceil: float):
+    """Materialize S = U_λ − W V_λ⁻¹ Wᵀ as (6C, 6C) plus its exact block
+    diagonal (C, 6, 6) for the preconditioner."""
+    Wi, Wj, Vp = pair_data
+    C = pairs.n_cameras
+    dc = B.U.shape[-1]
+
+    Ul, _ = damp_blocks(B, lam, diag_floor, diag_ceil)
+
+    # λ-dependent work entirely in pair space — no gathers
+    Vl = _damp_v_pair(Vp, lam, diag_floor, diag_ceil)
+    Vinv_pair = inv3x3(Vl)
+    vals = jnp.einsum("kia,kab,kjb->kij", Wi, Vinv_pair, Wj)   # (Np, dc, dc)
+
+    T = jax.ops.segment_sum(
+        vals.reshape(pairs.n_pairs, dc * dc), pairs.pair_key, C * C + 1,
+        indices_are_sorted=True)[: C * C]
+    T = T.reshape(C, C, dc, dc)
+
+    idx = jnp.arange(C)
+    diag_S = Ul - T[idx, idx]                                  # (C, dc, dc)
+
+    S4 = -T.transpose(0, 2, 1, 3)                              # (C, dc, C, dc)
+    S4 = S4.at[idx, :, idx, :].add(Ul)
+    S2 = S4.reshape(C * dc, C * dc)
+    return S2, diag_S
+
+
+def solve_schur_dense(B: BlockSystem, lam, pairs: PairPlan, pair_data=None, *,
+                      cg_max_iters: int, cg_tol: float,
+                      diag_floor: float, diag_ceil: float):
+    """Full linear solve on the explicit dense reduced camera system.
+
+    Returns (δ_cameras, δ_points, cg_iters) — same contract as
+    solve_schur_pcg (tpu_ba/solver/schur.py), verified equivalent in tests.
+    """
+    from tpu_ba.solver.pcg import pcg
+
+    if pair_data is None:
+        pair_data = precompute_pair_data(B, pairs)
+    C = pairs.n_cameras
+    dc = B.U.shape[-1]
+
+    S2, diag_S = build_dense_schur(B, lam, pairs, pair_data,
+                                   diag_floor, diag_ceil)
+
+    # point-space inverses for RHS + back-substitution (P-sized, cheap)
+    _, Vl_pts = damp_blocks(B, lam, diag_floor, diag_ceil)
+    Vinv_pts = inv3x3(Vl_pts)
+
+    b = schur_rhs(B, Vinv_pts)                                 # (C, dc)
+
+    Minv = inv_spd_small(diag_S)
+
+    def matvec(x):
+        return (S2 @ x.reshape(-1)).reshape(C, dc)
+
+    def precond(r):
+        return jnp.einsum("cij,cj->ci", Minv, r)
+
+    dx_cam, cg_iters = pcg(matvec, b, precond,
+                           max_iters=cg_max_iters, tol=cg_tol)
+    dx_pt = back_substitute(B, Vinv_pts, dx_cam)
+    return dx_cam, dx_pt, cg_iters
