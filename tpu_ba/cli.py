@@ -48,6 +48,16 @@ def _add_ba(sub):
     p.add_argument("--checkpoint", default=None, help="checkpoint dir to write")
     p.add_argument("--resume", default=None, help="checkpoint dir to resume from")
     p.add_argument("--config", default=None, help="JSON file of LMConfig overrides")
+    p.add_argument("--scene", default=None,
+                   help="load the problem from a scene file (.npz/.mat)")
+    p.add_argument("--save-scene", default=None,
+                   help="save the optimized scene (.npz/.mat)")
+    p.add_argument("--plot-scene", default=None,
+                   help="write a 3-D scene plot (PNG) after solving")
+    p.add_argument("--plot-convergence", default=None,
+                   help="write cost/lambda/CG-history plot (PNG)")
+    p.add_argument("--plot-reproj", default=None,
+                   help="write a reprojection overlay for camera 0 (PNG)")
 
 
 def _add_sfm(sub):
@@ -100,7 +110,12 @@ def cmd_ba(args) -> int:
     from tpu_ba.utils import enable_compilation_cache
 
     enable_compilation_cache()
-    if args.bal_file:
+    if args.scene:
+        from tpu_ba.io.scene import load_scene
+
+        problem = load_scene(args.scene)
+        n_obs = problem.n_obs
+    elif args.bal_file:
         problem = load_bal(args.bal_file)
         n_obs = problem.n_obs
     elif args.problem == "synthetic":
@@ -149,6 +164,24 @@ def cmd_ba(args) -> int:
 
         save_checkpoint(args.checkpoint, cameras=res.cameras, points=res.points,
                         lam=res.lam, iteration=int(res.iterations), cost=final)
+
+    if args.save_scene:
+        from tpu_ba.io.scene import save_scene
+
+        save_scene(args.save_scene, problem.with_params(res.cameras, res.points))
+    if args.plot_scene:
+        from tpu_ba.viz import plot_scene
+
+        plot_scene(res.cameras, res.points, args.plot_scene,
+                   title=args.bal_file or args.problem)
+    if args.plot_convergence:
+        from tpu_ba.viz import plot_convergence
+
+        plot_convergence(res, args.plot_convergence)
+    if args.plot_reproj:
+        from tpu_ba.viz import plot_reprojection
+
+        plot_reprojection(problem, res.cameras, res.points, args.plot_reproj)
 
     rmse = math.sqrt(2.0 * final / max(n_obs, 1))
     print(json.dumps({

@@ -131,10 +131,28 @@ def sorted_segment_sum(values, keys, n_out: int, plan: SegsumPlan | None = None,
     """
     if plan is None or not use_pallas or not _HAVE_PALLAS:
         return jax.ops.segment_sum(values, keys, n_out, indices_are_sorted=True)
+    return sorted_segment_sum_t(values.T, keys, n_out, plan=plan,
+                                interpret=interpret).T
 
-    O, D = values.shape
+
+def sorted_segment_sum_t(values_t, keys, n_out: int,
+                         plan: SegsumPlan | None = None,
+                         *, use_pallas: bool = True, interpret: bool = False):
+    """Lane-major segment sum: ``values_t`` (D, O) → (D, n_out).
+
+    Same kernel as sorted_segment_sum but without the entry/exit transposes —
+    the layout the explicit-Schur pair reduction (tpu_ba/solver/pairs.py)
+    keeps everything in.
+    """
+    if plan is None or not use_pallas or not _HAVE_PALLAS:
+        return jax.ops.segment_sum(values_t.T, keys, n_out,
+                                   indices_are_sorted=True).T
+
+    D, O = values_t.shape
     D_pad = _round_up(max(D, 1), 8)
-    values_t = jnp.zeros((D_pad, O), values.dtype).at[:D, :].set(values.T)
+    values = values_t
+    if D_pad != D:
+        values_t = jnp.zeros((D_pad, O), values.dtype).at[:D, :].set(values)
     starts = _chunk_tile_starts(keys, plan)
     keys2d = keys.reshape(1, -1).astype(jnp.int32)
 
@@ -157,4 +175,4 @@ def sorted_segment_sum(values, keys, n_out: int, plan: SegsumPlan | None = None,
         grid_spec=grid_spec,
         interpret=interpret,
     )(starts, keys2d, values_t)
-    return out_t[:D, :n_out].T
+    return out_t[:D, :n_out]

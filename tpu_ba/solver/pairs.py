@@ -132,48 +132,122 @@ def build_pair_plan(cam_idx, pt_idx, n_obs: int, n_cameras: int, n_points: int,
 def precompute_pair_data(B: BlockSystem, pairs: PairPlan):
     """λ-free per-linearization gathers into pair order.
 
-    Returns (Wi, Wj, Vp): (Np,6,3), (Np,6,3), (Np,3,3). Done once per
-    linearization and reused across λ-retries (the expensive gathers are
-    amortized over the retry loop).
+    Returns one packed **lane-major** array (2·3dc+9, Np): rows 0..3dc-1 are
+    W[pair_i] flattened, rows 3dc..6dc-1 are W[pair_j], the last 9 rows are
+    V[pair_pt]. Done once per linearization and reused across λ-retries.
+
+    Layout note (learned the hard way on this chip): a (Np, dc, 3) gather
+    result is tiled T(8,128) on its *minor* dims, padding 3→128 lanes — a
+    14× memory blowup that OOMs ladybug-scale problems at compile time.
+    Gathering flattened rows and transposing once keeps the big axis on
+    lanes, where it belongs.
     """
-    Wi = B.W[pairs.pair_i]
-    Wj = B.W[pairs.pair_j]
-    Vp = B.V[pairs.pair_pt]
-    return Wi, Wj, Vp
+    O = B.W.shape[0]
+    dc = B.W.shape[-2]
+    W2 = B.W.reshape(O, dc * 3)
+    V2 = B.V.reshape(B.V.shape[0], 9)
+    packed = jnp.concatenate(
+        [W2[pairs.pair_i], W2[pairs.pair_j], V2[pairs.pair_pt]], axis=1)
+    return packed.T                                    # (6dc+9, Np)
 
 
-def _damp_v_pair(Vp, lam, diag_floor, diag_ceil):
-    d = jnp.clip(jnp.diagonal(Vp, axis1=-2, axis2=-1), diag_floor, diag_ceil)
-    return Vp + lam * d[..., None] * jnp.eye(3, dtype=Vp.dtype)
+def _inv3x3_rows(v):
+    """Batched 3×3 inverse on flat row-major layout: v is (9, N) —
+    v[3a+b] = M[a,b] per column. Returns (9, N). Adjugate/det closed form
+    (lane-parallel VPU; assumes damped SPD blocks, det floored)."""
+    a, b, c, d, e, f, g, h, i = (v[k] for k in range(9))
+    A = e * i - f * h
+    B = f * g - d * i
+    Cc = d * h - e * g
+    det = a * A + b * B + c * Cc
+    det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    inv = jnp.stack([
+        A, c * h - b * i, b * f - c * e,
+        B, a * i - c * g, c * d - a * f,
+        Cc, b * g - a * h, a * e - b * d,
+    ])
+    return inv / det
+
+
+def _pair_products_t(packed_t, lam, dc: int, diag_floor, diag_ceil):
+    """vals_t (dc², Np): per-pair blocks W_i V_λ⁻¹ W_jᵀ, all lane-major.
+
+    The 3×3 damped inverses are recomputed per pair — ~60 VPU FLOPs each —
+    which keeps the λ-retry path 100% gather-free (SURVEY.md §7 hard part
+    (a): static index maps, no dynamic addressing in the hot loop).
+    """
+    Wi = packed_t[0:3 * dc]                  # rows (i,a) → 3i+a
+    Wj = packed_t[3 * dc:6 * dc]
+    V = packed_t[6 * dc:6 * dc + 9]          # rows (a,b) → 3a+b
+
+    dV = jnp.clip(jnp.stack([V[0], V[4], V[8]]), diag_floor, diag_ceil)
+    Vl = V.at[0].add(lam * dV[0]).at[4].add(lam * dV[1]).at[8].add(lam * dV[2])
+    Vinv = _inv3x3_rows(Vl)                  # (9, Np)
+
+    # M[3i+b] = Σ_a Wi[3i+a] · Vinv[3a+b]
+    M = jnp.stack([
+        sum(Wi[3 * i + a] * Vinv[3 * a + b] for a in range(3))
+        for i in range(dc) for b in range(3)
+    ])
+    # vals[dc·i+j] = Σ_b M[3i+b] · Wj[3j+b]
+    vals = jnp.stack([
+        sum(M[3 * i + b] * Wj[3 * j + b] for b in range(3))
+        for i in range(dc) for j in range(dc)
+    ])
+    return vals                               # (dc², Np)
+
+
+def _reduce_pairs_t(vals_t, pair_key, n_cameras: int, seg_plan=None):
+    """T_t (dc², C²): segment-sum of pair blocks by camera-pair key (sorted;
+    the trailing trash segment C² collects padding). Stays lane-major."""
+    C = n_cameras
+    if seg_plan is not None:
+        from tpu_ba.kernels.segsum import sorted_segment_sum_t
+
+        return sorted_segment_sum_t(vals_t, pair_key, C * C + 1,
+                                    plan=seg_plan)[:, : C * C]
+    out = jax.ops.segment_sum(vals_t.T, pair_key, C * C + 1,
+                              indices_are_sorted=True)
+    return out.T[:, : C * C]
+
+
+def build_schur_t(B: BlockSystem, lam, pairs: PairPlan, pair_data,
+                  diag_floor: float, diag_ceil: float, seg_plan=None):
+    """The reduced camera system in T-major layout.
+
+    Returns (Ul, T4, diag_S):
+      Ul     (C, dc, dc) — damped camera diagonal blocks
+      T4     (dc, dc, C, C) — Σ_p W V_λ⁻¹ Wᵀ with block dims on *sublanes*
+      diag_S (C, dc, dc) — exact block diagonal of S = U_λ − T
+    The matvec never materializes S: y = Ul·x − einsum("ijcd,dj->ci", T4, x).
+    """
+    C = pairs.n_cameras
+    dc = B.U.shape[-1]
+    Ul, _ = damp_blocks(B, lam, diag_floor, diag_ceil)
+
+    vals_t = _pair_products_t(pair_data, lam, dc, diag_floor, diag_ceil)
+    T_t = _reduce_pairs_t(vals_t, pairs.pair_key, C, seg_plan)  # (dc², C²)
+    T4 = T_t.reshape(dc, dc, C, C)
+
+    idx = jnp.arange(C)
+    T_diag = T4[:, :, idx, idx].transpose(2, 0, 1)              # (C, dc, dc)
+    diag_S = Ul - T_diag
+    return Ul, T4, diag_S
 
 
 def build_dense_schur(B: BlockSystem, lam, pairs: PairPlan, pair_data,
                       diag_floor: float, diag_ceil: float):
-    """Materialize S = U_λ − W V_λ⁻¹ Wᵀ as (6C, 6C) plus its exact block
-    diagonal (C, 6, 6) for the preconditioner."""
-    Wi, Wj, Vp = pair_data
+    """Materialize S = U_λ − W V_λ⁻¹ Wᵀ as (dc·C, dc·C) plus its exact block
+    diagonal (C, dc, dc). Test/oracle entry point — the solver itself stays
+    in T-major layout (build_schur_t) and never forms this matrix."""
     C = pairs.n_cameras
     dc = B.U.shape[-1]
-
-    Ul, _ = damp_blocks(B, lam, diag_floor, diag_ceil)
-
-    # λ-dependent work entirely in pair space — no gathers
-    Vl = _damp_v_pair(Vp, lam, diag_floor, diag_ceil)
-    Vinv_pair = inv3x3(Vl)
-    vals = jnp.einsum("kia,kab,kjb->kij", Wi, Vinv_pair, Wj)   # (Np, dc, dc)
-
-    T = jax.ops.segment_sum(
-        vals.reshape(pairs.n_pairs, dc * dc), pairs.pair_key, C * C + 1,
-        indices_are_sorted=True)[: C * C]
-    T = T.reshape(C, C, dc, dc)
-
+    Ul, T4, diag_S = build_schur_t(B, lam, pairs, pair_data,
+                                   diag_floor, diag_ceil)
+    S4 = -T4.transpose(2, 0, 3, 1)                              # (C, dc, C, dc)
     idx = jnp.arange(C)
-    diag_S = Ul - T[idx, idx]                                  # (C, dc, dc)
-
-    S4 = -T.transpose(0, 2, 1, 3)                              # (C, dc, C, dc)
     S4 = S4.at[idx, :, idx, :].add(Ul)
-    S2 = S4.reshape(C * dc, C * dc)
-    return S2, diag_S
+    return S4.reshape(C * dc, C * dc), diag_S
 
 
 def solve_schur_dense(B: BlockSystem, lam, pairs: PairPlan, pair_data=None, *,
@@ -191,7 +265,7 @@ def solve_schur_dense(B: BlockSystem, lam, pairs: PairPlan, pair_data=None, *,
     C = pairs.n_cameras
     dc = B.U.shape[-1]
 
-    S2, diag_S = build_dense_schur(B, lam, pairs, pair_data,
+    Ul, T4, diag_S = build_schur_t(B, lam, pairs, pair_data,
                                    diag_floor, diag_ceil)
 
     # point-space inverses for RHS + back-substitution (P-sized, cheap)
@@ -203,7 +277,8 @@ def solve_schur_dense(B: BlockSystem, lam, pairs: PairPlan, pair_data=None, *,
     Minv = inv_spd_small(diag_S)
 
     def matvec(x):
-        return (S2 @ x.reshape(-1)).reshape(C, dc)
+        y = jnp.einsum("cij,cj->ci", Ul, x)
+        return y - jnp.einsum("ijcd,dj->ci", T4, x)
 
     def precond(r):
         return jnp.einsum("cij,cj->ci", Minv, r)
