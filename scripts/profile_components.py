@@ -118,12 +118,11 @@ def main():
 
     def make_mv(plans_):
         Ul, Vl = damp_blocks(B, lam, 1e-6, 1e32)
-        Vinv = schur_mod.inv3x3(Vl)
+        Vinv = schur_mod.inv3x3_rows(Vl)
         mv = schur_mod.make_schur_matvec(Ul, B.W, Vinv, B.cam_idx, B.pt_idx, P,
                                          None, plans_)
         return jax.jit(mv)
 
-    x = jnp.ones((C, 9 if B.U.shape[-1] == 9 else B.U.shape[-1]), jnp.float32)
     x = jnp.ones((C, B.U.shape[-1]), jnp.float32)
     mv_x = make_mv(None)
     t = timeit(mv_x, x)

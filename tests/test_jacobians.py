@@ -54,9 +54,10 @@ def test_mask_zeroes_rows():
     cams, pts, obs, ci, pi = _random_scene(jax.random.PRNGKey(2))
     mask = jnp.arange(obs.shape[0]) < 30
     r, Jc, Jp = jacobian_blocks_bal(cams, pts, obs, ci, pi, mask)
-    assert np.all(np.asarray(r[30:]) == 0)
-    assert np.all(np.asarray(Jc[30:]) == 0)
-    assert np.all(np.asarray(Jp[30:]) == 0)
+    # lane-major: observation axis is last
+    assert np.all(np.asarray(r[:, 30:]) == 0)
+    assert np.all(np.asarray(Jc[:, :, 30:]) == 0)
+    assert np.all(np.asarray(Jp[:, :, 30:]) == 0)
 
 
 def test_jacobian_finite_differences():
@@ -67,5 +68,5 @@ def test_jacobian_finite_differences():
     d = jnp.zeros_like(cams).at[0, 4].set(eps)
     r1, _, _ = jacobian_blocks_bal(cams + d, pts, obs, ci, pi)
     fd = (r1 - r0) / eps
-    pred = Jc[:, :, 4] * (np.asarray(ci) == 0)[:, None]
+    pred = Jc[:, 4, :] * (np.asarray(ci) == 0)[None, :]
     np.testing.assert_allclose(fd, pred, rtol=1e-4, atol=1e-4)

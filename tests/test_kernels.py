@@ -74,21 +74,17 @@ def test_pallas_solver_path_matches_segment_path():
     res_ref = solve(problem, cfg)
     import tpu_ba.kernels.segsum as ss
     # run the pallas path through the interpreter on CPU
-    orig = ss.sorted_segment_sum
+    orig = ss.sorted_segment_sum_t
 
-    def interp(values, keys, n_out, plan=None, **kw):
+    def interp(values_t, keys, n_out, plan=None, **kw):
         kw["interpret"] = True
-        return orig(values, keys, n_out, plan=plan, **kw)
+        return orig(values_t, keys, n_out, plan=plan, **kw)
 
-    ss.sorted_segment_sum = interp
+    ss.sorted_segment_sum_t = interp
     try:
-        import tpu_ba.solver.plans as plans_mod
-        import importlib
-        importlib.reload(plans_mod)  # rebind the monkeypatched function
         cfg_p = dataclasses.replace(cfg, linear_solver="schur_pcg_pallas")
         res_p = solve(problem, cfg_p)
     finally:
-        ss.sorted_segment_sum = orig
-        importlib.reload(plans_mod)
+        ss.sorted_segment_sum_t = orig
     np.testing.assert_allclose(float(res_p.cost), float(res_ref.cost), rtol=1e-8)
     assert int(res_p.iterations) == int(res_ref.iterations)

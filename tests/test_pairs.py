@@ -47,19 +47,20 @@ def test_dense_schur_matrix_matches_reference_loop():
     S2, diag_S = build_dense_schur(B, lam, pairs, precompute_pair_data(B, pairs),
                                    1e-6, 1e32)
 
-    # brute force via dense scatter of W blocks
+    # brute force via dense scatter of W blocks (convert lane-major to AoS)
     C = problem.cameras.shape[0]
     P = problem.points.shape[0]
     dc = B.U.shape[-1]
-    Ul, Vl = damp_blocks(B, lam, 1e-6, 1e32)
+    O = B.W.shape[-1]
+    Ul, Vl_t = damp_blocks(B, lam, 1e-6, 1e32)
     Wfull = np.zeros((C * dc, P * 3))
-    W = np.asarray(B.W)
-    for o in range(W.shape[0]):
+    W = np.asarray(B.W).T.reshape(O, dc, 3)
+    for o in range(O):
         if not bool(problem.mask[o]):
             continue
         c, p = int(B.cam_idx[o]), int(B.pt_idx[o])
         Wfull[c * dc:(c + 1) * dc, p * 3:(p + 1) * 3] += W[o]
-    Vinv = np.asarray(inv3x3(Vl))
+    Vinv = np.asarray(inv3x3(jnp.asarray(np.asarray(Vl_t).T.reshape(P, 3, 3))))
     Vinv_full = np.zeros((P * 3, P * 3))
     for p in range(P):
         Vinv_full[p * 3:(p + 1) * 3, p * 3:(p + 1) * 3] = Vinv[p]

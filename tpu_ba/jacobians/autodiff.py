@@ -21,20 +21,20 @@ def _proj(cam, X, obs):
     return project_bal(cam, X) - obs
 
 
-_jac_cam = jax.vmap(jax.jacfwd(_proj, argnums=0), in_axes=(0, 0, 0))
-_jac_pt = jax.vmap(jax.jacfwd(_proj, argnums=1), in_axes=(0, 0, 0))
+_jac_cam = jax.vmap(jax.jacfwd(_proj, argnums=0), in_axes=(0, 0, 0), out_axes=-1)
+_jac_pt = jax.vmap(jax.jacfwd(_proj, argnums=1), in_axes=(0, 0, 0), out_axes=-1)
 
 
 def jacobian_blocks_bal_autodiff(cameras, points, obs_2d, cam_idx, pt_idx, mask=None):
-    """Returns (r (O,2), Jc (O,2,9), Jp (O,2,3)); masked rows zeroed."""
+    """Returns lane-major (r (2,O), Jc (2,9,O), Jp (2,3,O)); masked
+    observations zeroed — same layout as the analytic fast path."""
     cam = cameras[cam_idx]
     X = points[pt_idx]
-    r = _proj(cam, X, obs_2d)
+    r = _proj(cam, X, obs_2d).T
     Jc = _jac_cam(cam, X, obs_2d)
     Jp = _jac_pt(cam, X, obs_2d)
     if mask is not None:
-        m = mask[:, None]
-        r = jnp.where(m, r, 0.0)
-        Jc = jnp.where(m[..., None], Jc, 0.0)
-        Jp = jnp.where(m[..., None], Jp, 0.0)
+        r = jnp.where(mask[None, :], r, 0.0)
+        Jc = jnp.where(mask[None, None, :], Jc, 0.0)
+        Jp = jnp.where(mask[None, None, :], Jp, 0.0)
     return r, Jc, Jp

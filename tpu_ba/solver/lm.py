@@ -124,7 +124,8 @@ def lm_loop(cams0, pts0, obs, ci, pi, mask, n_cameras: int, n_points: int,
         gnorm = jnp.maximum(jnp.max(jnp.abs(B.gc)), jnp.max(jnp.abs(B.gp)))
         dU = jnp.clip(jnp.diagonal(B.U, axis1=-2, axis2=-1),
                       config.diag_floor, config.diag_ceil)
-        dV = jnp.clip(jnp.diagonal(B.V, axis1=-2, axis2=-1),
+        # V is lane-major (9, P); its diagonal is rows 0, 4, 8 → (P, 3)
+        dV = jnp.clip(jnp.stack([B.V[0], B.V[4], B.V[8]], axis=-1),
                       config.diag_floor, config.diag_ceil)
 
         def try_cond(tstate):
@@ -142,7 +143,7 @@ def lm_loop(cams0, pts0, obs, ci, pi, mask, n_cameras: int, n_points: int,
 
             # predicted reduction ½(λ δᵀDδ − δᵀg) with D the damping diagonal
             dTDd = jnp.sum(dU * dxc * dxc) + jnp.sum(dV * dxp * dxp)
-            dTg = jnp.sum(B.gc * dxc) + jnp.sum(B.gp * dxp)
+            dTg = jnp.sum(B.gc * dxc) + jnp.sum(B.gp.T * dxp)
             pred = 0.5 * (lam * dTDd - dTg)
 
             rho_gain = (cost - new_cost) / jnp.maximum(

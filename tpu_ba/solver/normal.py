@@ -31,25 +31,32 @@ from tpu_ba.residuals.robust import robust_weight
 
 
 class BlockSystem(NamedTuple):
-    """The assembled (robust-weighted) Gauss-Newton system in block form."""
+    """The assembled (robust-weighted) Gauss-Newton system in block form.
+
+    Observation/point-indexed arrays are **lane-major** (batch axis last):
+    on TPU the trailing two dims are tiled T(8,128), so AoS layouts like
+    (O, dc, 3) pad their tiny minor dims to (8·k, 128) — a 14× physical
+    blowup at BAL scale. Lane-major keeps the big axis on lanes.
+    """
 
     U: jax.Array        # (C, dc, dc) camera diagonal blocks of JᵀJ
-    V: jax.Array        # (P, 3, 3)   point diagonal blocks of JᵀJ
-    W: jax.Array        # (O, dc, 3)  per-observation coupling blocks
+    V: jax.Array        # (9, P)      point diagonal blocks, row 3a+b = V[a,b]
+    W: jax.Array        # (3·dc, O)   coupling blocks, row 3m+n = W[m,n]
     gc: jax.Array       # (C, dc)     camera gradient Jᵀr
-    gp: jax.Array       # (P, 3)      point gradient Jᵀr
+    gp: jax.Array       # (3, P)      point gradient Jᵀr
     cost: jax.Array     # scalar, ½ Σ ρ(|r|²)
     cam_idx: jax.Array  # (O,)
     pt_idx: jax.Array   # (O,)
 
 
 def apply_irls_weights(r, Jc, Jp, robust_kind: int, robust_scale: float, mask=None):
-    """Scale residuals and Jacobian blocks by √ρ′(|r|²).
+    """Scale residuals and Jacobian blocks by √ρ′(|r|²). Lane-major inputs:
+    r (2,O), Jc (2,dc,O), Jp (2,3,O).
 
     Returns (r_w, Jc_w, Jp_w, cost) where cost is the *robust* cost of the
     unweighted residuals.
     """
-    s = jnp.sum(r * r, axis=-1)
+    s = jnp.sum(r * r, axis=0)
     from tpu_ba.residuals.robust import robust_rho
 
     rho = robust_rho(robust_kind, s, robust_scale)
@@ -61,7 +68,7 @@ def apply_irls_weights(r, Jc, Jp, robust_kind: int, robust_scale: float, mask=No
     if mask is not None:
         w = jnp.where(mask, w, 0.0)
     sw = jnp.sqrt(w)
-    return r * sw[:, None], Jc * sw[:, None, None], Jp * sw[:, None, None], cost
+    return r * sw[None, :], Jc * sw[None, None, :], Jp * sw[None, None, :], cost
 
 
 def assemble(r, Jc, Jp, cam_idx, pt_idx, n_cameras: int, n_points: int,
@@ -80,34 +87,27 @@ def assemble(r, Jc, Jp, cam_idx, pt_idx, n_cameras: int, n_points: int,
     """
     r, Jc, Jp, cost = apply_irls_weights(r, Jc, Jp, robust_kind, robust_scale, mask)
 
-    # per-observation outer products (batched; MXU/VPU friendly)
-    O = r.shape[0]
-    dc = Jc.shape[-1]
-    UtU = jnp.einsum("oki,okj->oij", Jc, Jc)   # (O, dc, dc)
-    VtV = jnp.einsum("oki,okj->oij", Jp, Jp)   # (O, 3, 3)
-    W = jnp.einsum("oki,okj->oij", Jc, Jp)     # (O, dc, 3)
-    gco = jnp.einsum("oki,ok->oi", Jc, r)      # (O, dc)
-    gpo = jnp.einsum("oki,ok->oi", Jp, r)      # (O, 3)
+    # per-observation outer products — lane-parallel VPU row products
+    O = r.shape[-1]
+    dc = Jc.shape[1]
+    UtU = jnp.einsum("smo,sno->mno", Jc, Jc).reshape(dc * dc, O)
+    VtV = jnp.einsum("smo,sno->mno", Jp, Jp).reshape(9, O)
+    W = jnp.einsum("smo,sno->mno", Jc, Jp).reshape(dc * 3, O)
+    gco = jnp.einsum("smo,so->mo", Jc, r)      # (dc, O)
+    gpo = jnp.einsum("smo,so->mo", Jp, r)      # (3, O)
 
-    if plans is not None and axis_name is None:
-        from tpu_ba.solver.plans import cam_segsum, pt_segsum
+    from tpu_ba.solver.plans import cam_segsum_t, pt_segsum_t
 
-        # one packed kernel call per side (camera: dc²+dc lanes, point: 12)
-        cam_packed = cam_segsum(
-            plans, jnp.concatenate([UtU.reshape(O, dc * dc), gco], axis=1),
-            cam_idx, n_cameras)
-        U = cam_packed[:, : dc * dc].reshape(n_cameras, dc, dc)
-        gc = cam_packed[:, dc * dc:]
-        pt_packed = pt_segsum(
-            plans, jnp.concatenate([VtV.reshape(O, 9), gpo], axis=1),
-            pt_idx, n_points)
-        V = pt_packed[:, :9].reshape(n_points, 3, 3)
-        gp = pt_packed[:, 9:]
-    else:
-        U = jax.ops.segment_sum(UtU, cam_idx, n_cameras, indices_are_sorted=True)
-        gc = jax.ops.segment_sum(gco, cam_idx, n_cameras, indices_are_sorted=True)
-        V = jax.ops.segment_sum(VtV, pt_idx, n_points)
-        gp = jax.ops.segment_sum(gpo, pt_idx, n_points)
+    use_plans = plans if axis_name is None else None
+    # one packed reduction per side (camera: dc²+dc rows, point: 12)
+    cam_packed = cam_segsum_t(
+        use_plans, jnp.concatenate([UtU, gco], axis=0), cam_idx, n_cameras)
+    U = cam_packed[: dc * dc].reshape(dc, dc, n_cameras).transpose(2, 0, 1)
+    gc = cam_packed[dc * dc:].T
+    pt_packed = pt_segsum_t(
+        use_plans, jnp.concatenate([VtV, gpo], axis=0), pt_idx, n_points)
+    V = pt_packed[:9]
+    gp = pt_packed[9:]
 
     if axis_name is not None:
         U = jax.lax.psum(U, axis_name)
@@ -123,12 +123,16 @@ def assemble(r, Jc, Jp, cam_idx, pt_idx, n_cameras: int, n_points: int,
 def damp_blocks(B, lam, diag_floor: float, diag_ceil: float):
     """Marquardt damping: add λ·clamp(diag) to the diagonal of each block.
 
-    Returns (U_λ, V_λ). Matches the reference's per-iteration damping of the
-    normal equations (BASELINE.json:5), in Ceres' diagonal-scaled form.
+    Returns (U_λ (C,dc,dc), V_λ (9,P) lane-major). Matches the reference's
+    per-iteration damping of the normal equations (BASELINE.json:5), in
+    Ceres' diagonal-scaled form.
     """
-    def _damp(M):
-        d = jnp.clip(jnp.diagonal(M, axis1=-2, axis2=-1), diag_floor, diag_ceil)
-        n = M.shape[-1]
-        return M + lam * d[..., None] * jnp.eye(n, dtype=M.dtype)
+    dU = jnp.clip(jnp.diagonal(B.U, axis1=-2, axis2=-1), diag_floor, diag_ceil)
+    n = B.U.shape[-1]
+    Ul = B.U + lam * dU[..., None] * jnp.eye(n, dtype=B.U.dtype)
 
-    return _damp(B.U), _damp(B.V)
+    V = B.V
+    Vl = V
+    for a in range(3):
+        Vl = Vl.at[4 * a].add(lam * jnp.clip(V[4 * a], diag_floor, diag_ceil))
+    return Ul, Vl

@@ -37,7 +37,7 @@ import numpy as np
 
 from tpu_ba.solver.batched_linalg import inv_spd_small
 from tpu_ba.solver.normal import BlockSystem, damp_blocks
-from tpu_ba.solver.schur import back_substitute, inv3x3, schur_rhs
+from tpu_ba.solver.schur import back_substitute, inv3x3_rows, schur_rhs
 
 
 def _round_up(x: int, m: int) -> int:
@@ -133,40 +133,17 @@ def precompute_pair_data(B: BlockSystem, pairs: PairPlan):
     """λ-free per-linearization gathers into pair order.
 
     Returns one packed **lane-major** array (2·3dc+9, Np): rows 0..3dc-1 are
-    W[pair_i] flattened, rows 3dc..6dc-1 are W[pair_j], the last 9 rows are
+    W[pair_i], rows 3dc..6dc-1 are W[pair_j], the last 9 rows are
     V[pair_pt]. Done once per linearization and reused across λ-retries.
 
-    Layout note (learned the hard way on this chip): a (Np, dc, 3) gather
-    result is tiled T(8,128) on its *minor* dims, padding 3→128 lanes — a
-    14× memory blowup that OOMs ladybug-scale problems at compile time.
-    Gathering flattened rows and transposing once keeps the big axis on
-    lanes, where it belongs.
+    The BlockSystem is already lane-major ((3dc,O) / (9,P)), so these are
+    pure lane-axis gathers — no transposes, no tile-padding blowup.
     """
-    O = B.W.shape[0]
-    dc = B.W.shape[-2]
-    W2 = B.W.reshape(O, dc * 3)
-    V2 = B.V.reshape(B.V.shape[0], 9)
+    dc = B.W.shape[0] // 3
     packed = jnp.concatenate(
-        [W2[pairs.pair_i], W2[pairs.pair_j], V2[pairs.pair_pt]], axis=1)
-    return packed.T                                    # (6dc+9, Np)
-
-
-def _inv3x3_rows(v):
-    """Batched 3×3 inverse on flat row-major layout: v is (9, N) —
-    v[3a+b] = M[a,b] per column. Returns (9, N). Adjugate/det closed form
-    (lane-parallel VPU; assumes damped SPD blocks, det floored)."""
-    a, b, c, d, e, f, g, h, i = (v[k] for k in range(9))
-    A = e * i - f * h
-    B = f * g - d * i
-    Cc = d * h - e * g
-    det = a * A + b * B + c * Cc
-    det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
-    inv = jnp.stack([
-        A, c * h - b * i, b * f - c * e,
-        B, a * i - c * g, c * d - a * f,
-        Cc, b * g - a * h, a * e - b * d,
-    ])
-    return inv / det
+        [B.W[:, pairs.pair_i], B.W[:, pairs.pair_j], B.V[:, pairs.pair_pt]],
+        axis=0)
+    return packed                                      # (6dc+9, Np)
 
 
 def _pair_products_t(packed_t, lam, dc: int, diag_floor, diag_ceil):
@@ -182,7 +159,7 @@ def _pair_products_t(packed_t, lam, dc: int, diag_floor, diag_ceil):
 
     dV = jnp.clip(jnp.stack([V[0], V[4], V[8]]), diag_floor, diag_ceil)
     Vl = V.at[0].add(lam * dV[0]).at[4].add(lam * dV[1]).at[8].add(lam * dV[2])
-    Vinv = _inv3x3_rows(Vl)                  # (9, Np)
+    Vinv = inv3x3_rows(Vl)                  # (9, Np)
 
     # M[3i+b] = Σ_a Wi[3i+a] · Vinv[3a+b]
     M = jnp.stack([
@@ -270,7 +247,7 @@ def solve_schur_dense(B: BlockSystem, lam, pairs: PairPlan, pair_data=None, *,
 
     # point-space inverses for RHS + back-substitution (P-sized, cheap)
     _, Vl_pts = damp_blocks(B, lam, diag_floor, diag_ceil)
-    Vinv_pts = inv3x3(Vl_pts)
+    Vinv_pts = inv3x3_rows(Vl_pts)
 
     b = schur_rhs(B, Vinv_pts)                                 # (C, dc)
 

@@ -65,7 +65,7 @@ def build_plans(cam_idx, pt_idx, n_cameras: int, n_points: int,
 
 
 def cam_segsum(plans: AssemblyPlans | None, values, cam_idx, n_cameras: int):
-    """Camera-keyed segment sum (values already camera-sorted)."""
+    """Camera-keyed segment sum of row-major (O, D) values."""
     from tpu_ba.kernels.segsum import sorted_segment_sum
 
     plan = plans.cam_plan if plans is not None else None
@@ -73,10 +73,33 @@ def cam_segsum(plans: AssemblyPlans | None, values, cam_idx, n_cameras: int):
 
 
 def pt_segsum(plans: AssemblyPlans | None, values, pt_idx, n_points: int):
-    """Point-keyed segment sum (permutes into point-sorted order first)."""
+    """Point-keyed segment sum of row-major (O, D) values (permutes into
+    point-sorted order first)."""
     from tpu_ba.kernels.segsum import sorted_segment_sum
 
     if plans is None:
         return jax.ops.segment_sum(values, pt_idx, n_points)
     return sorted_segment_sum(values[plans.perm_pt], plans.pt_sorted_keys,
                               n_points, plan=plans.pt_plan)
+
+
+def cam_segsum_t(plans: AssemblyPlans | None, values_t, cam_idx, n_cameras: int):
+    """Camera-keyed segment sum, lane-major: (D, O) → (D, C). Observations
+    are camera-sorted by construction (tpu_ba.core.make_problem)."""
+    from tpu_ba.kernels.segsum import sorted_segment_sum_t
+
+    plan = plans.cam_plan if plans is not None else None
+    return sorted_segment_sum_t(values_t, cam_idx, n_cameras, plan=plan)
+
+
+def pt_segsum_t(plans: AssemblyPlans | None, values_t, pt_idx, n_points: int):
+    """Point-keyed segment sum, lane-major: (D, O) → (D, P). With a plan the
+    permutation into point-sorted order is a lane-axis gather."""
+    from tpu_ba.kernels.segsum import sorted_segment_sum_t
+
+    if plans is None:
+        # cam-sorted order ⇒ point keys are NOT sorted here
+        return jax.ops.segment_sum(values_t.T, pt_idx, n_points).T
+    return sorted_segment_sum_t(values_t[:, plans.perm_pt],
+                                plans.pt_sorted_keys, n_points,
+                                plan=plans.pt_plan)

@@ -5,12 +5,16 @@ SURVEY.md §2.1 R4). TPU design (SURVEY.md §3.2a): the reduced camera system
 
     S = U_λ − W V_λ⁻¹ Wᵀ,      b = −g_c + W V_λ⁻¹ g_p
 
-is never materialized. Its matvec is two gather→batched-matmul→segment-sum
-sweeps over the observation axis — exactly the shape of the assembly pass, so
-the same Pallas kernel family accelerates both (tpu_ba/kernels/). The 3×3
-point blocks are inverted in closed form (adjugate), batched over P on the
-VPU. Under ``shard_map`` the two segment-sums become local partial sums
-followed by one ``psum`` each (tpu_ba/sharding/).
+is never materialized. Its matvec is two gather→row-product→segment-sum
+sweeps over the observation axis. All per-observation/point block data is
+**lane-major** ((3dc, O) / (9, P) — batch axis on lanes; see
+tpu_ba/solver/normal.py for the tiling rationale), so the block algebra is
+pure lane-parallel VPU row arithmetic. Under ``shard_map`` the two
+segment-sums become local partial sums followed by one ``psum`` each
+(tpu_ba/sharding/).
+
+This is the scalable/distributed path; the explicit dense-S path
+(tpu_ba/solver/pairs.py) is faster on single-chip BAL-class problems.
 """
 
 from __future__ import annotations
@@ -22,12 +26,9 @@ from tpu_ba.solver.normal import BlockSystem, damp_blocks
 
 
 def inv3x3(M):
-    """Batched closed-form 3×3 inverse via the adjugate.
-
-    (P,3,3) → (P,3,3). ~30 FLOPs per block, no linalg dispatch, fuses with
-    neighbors. Assumes blocks are SPD after damping (det > 0); a floor on the
-    determinant guards padded/empty point blocks.
-    """
+    """Batched closed-form 3×3 inverse via the adjugate, AoS layout
+    (..., 3, 3) → (..., 3, 3). Test/oracle helper; the solver paths use the
+    lane-major :func:`inv3x3_rows`."""
     a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
     d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
     g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
@@ -44,25 +45,64 @@ def inv3x3(M):
     return adj / det_safe[..., None, None]
 
 
+def inv3x3_rows(v):
+    """Batched 3×3 inverse on flat lane-major layout: v (9, N) with
+    v[3a+b] = M[a,b] per column → (9, N). Adjugate/det closed form; assumes
+    damped SPD blocks (det floored for padded/empty blocks)."""
+    a, b, c, d, e, f, g, h, i = (v[k] for k in range(9))
+    A = e * i - f * h
+    B = f * g - d * i
+    Cc = d * h - e * g
+    det = a * A + b * B + c * Cc
+    det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    inv = jnp.stack([
+        A, c * h - b * i, b * f - c * e,
+        B, a * i - c * g, c * d - a * f,
+        Cc, b * g - a * h, a * e - b * d,
+    ])
+    return inv / det
+
+
+def _matmul_rows_33(v, x):
+    """Per-column 3×3 · 3-vector on lane-major rows: v (9,N), x (3,N) → (3,N)."""
+    return jnp.stack([
+        v[0] * x[0] + v[1] * x[1] + v[2] * x[2],
+        v[3] * x[0] + v[4] * x[1] + v[5] * x[2],
+        v[6] * x[0] + v[7] * x[1] + v[8] * x[2],
+    ])
+
+
+def _w_dot(W, x, dc: int):
+    """Per-observation W·u: W (3dc,O) rows 3m+n, u (3,O) → (dc,O)."""
+    return jnp.stack([
+        sum(W[3 * m + n] * x[n] for n in range(3)) for m in range(dc)
+    ])
+
+
+def _wt_dot(W, x, dc: int):
+    """Per-observation Wᵀ·y: W (3dc,O), y (dc,O) → (3,O)."""
+    return jnp.stack([
+        sum(W[3 * m + n] * x[m] for m in range(dc)) for n in range(3)
+    ])
+
+
 def _reduce(x, axis_name):
     return x if axis_name is None else jax.lax.psum(x, axis_name)
 
 
-def _cam_sum(values, cam_idx, n, axis_name, plans):
-    if plans is not None and axis_name is None:
-        from tpu_ba.solver.plans import cam_segsum
+def _cam_sum_t(values_t, cam_idx, n, axis_name, plans):
+    from tpu_ba.solver.plans import cam_segsum_t
 
-        return cam_segsum(plans, values, cam_idx, n)
-    out = jax.ops.segment_sum(values, cam_idx, n, indices_are_sorted=True)
+    out = cam_segsum_t(plans if axis_name is None else None,
+                       values_t, cam_idx, n)
     return _reduce(out, axis_name)
 
 
-def _pt_sum(values, pt_idx, n, axis_name, plans):
-    if plans is not None and axis_name is None:
-        from tpu_ba.solver.plans import pt_segsum
+def _pt_sum_t(values_t, pt_idx, n, axis_name, plans):
+    from tpu_ba.solver.plans import pt_segsum_t
 
-        return pt_segsum(plans, values, pt_idx, n)
-    out = jax.ops.segment_sum(values, pt_idx, n)
+    out = pt_segsum_t(plans if axis_name is None else None,
+                      values_t, pt_idx, n)
     return _reduce(out, axis_name)
 
 
@@ -71,22 +111,32 @@ def w_vinv_wt_diag(W, Vinv, cam_idx, pt_idx, n_cameras: int, axis_name=None,
     """Σ_obs W_o V⁻¹[pt_o] W_oᵀ accumulated per camera → (C, dc, dc).
 
     This is the second term of diag(S); used for the block-Jacobi
-    preconditioner (exact block diagonal of S).
+    preconditioner (exact block diagonal of S). W (3dc,O), Vinv (9,P).
     """
-    O, dc, _ = W.shape
-    Vi = Vinv[pt_idx]                                  # (O,3,3) gather
-    WVi = jnp.einsum("oij,ojk->oik", W, Vi)            # (O,dc,3)
-    WViWt = jnp.einsum("oik,ojk->oij", WVi, W)         # (O,dc,dc)
-    out = _cam_sum(WViWt.reshape(O, dc * dc), cam_idx, n_cameras, axis_name, plans)
-    return out.reshape(n_cameras, dc, dc)
+    dc = W.shape[0] // 3
+    Vg = Vinv[:, pt_idx]                                 # (9, O) lane gather
+    # WVi rows (m,b) = Σ_a W[3m+a]·Vg[3a+b] → (3dc, O)
+    WVi = jnp.stack([
+        sum(W[3 * m + a] * Vg[3 * a + b] for a in range(3))
+        for m in range(dc) for b in range(3)
+    ])
+    # (m,m') = Σ_b WVi[3m+b]·W[3m'+b] → (dc², O)
+    WViWt = jnp.stack([
+        sum(WVi[3 * m + b] * W[3 * m2 + b] for b in range(3))
+        for m in range(dc) for m2 in range(dc)
+    ])
+    out = _cam_sum_t(WViWt, cam_idx, n_cameras, axis_name, plans)  # (dc², C)
+    return out.reshape(dc, dc, n_cameras).transpose(2, 0, 1)
 
 
 def schur_rhs(B: BlockSystem, Vinv, axis_name=None, plans=None):
-    """b = −g_c + W V_λ⁻¹ g_p → (C, dc)."""
-    t = jnp.einsum("pij,pj->pi", Vinv, B.gp)           # (P,3) replicated
-    Wt = jnp.einsum("oij,oj->oi", B.W, t[B.pt_idx])    # (O,dc) shard-local
+    """b = −g_c + W V_λ⁻¹ g_p → (C, dc). Vinv (9,P) lane-major."""
+    dc = B.W.shape[0] // 3
+    t = _matmul_rows_33(Vinv, B.gp)                      # (3, P)
+    tg = t[:, B.pt_idx]                                  # (3, O)
+    Wt = _w_dot(B.W, tg, dc)                             # (dc, O)
     n_cameras = B.U.shape[0]
-    return -B.gc + _cam_sum(Wt, B.cam_idx, n_cameras, axis_name, plans)
+    return -B.gc + _cam_sum_t(Wt, B.cam_idx, n_cameras, axis_name, plans).T
 
 
 def make_schur_matvec(Ul, W, Vinv, cam_idx, pt_idx, n_points: int, axis_name=None,
@@ -98,25 +148,30 @@ def make_schur_matvec(Ul, W, Vinv, cam_idx, pt_idx, n_points: int, axis_name=Non
     ICI/DCN crossings of SURVEY.md §3.2a).
     """
     n_cameras = Ul.shape[0]
+    dc = W.shape[0] // 3
 
     def matvec(x):
-        y = jnp.einsum("cij,cj->ci", Ul, x)                       # U_λ x (replicated)
-        wtx = jnp.einsum("oji,oj->oi", W, x[cam_idx])             # Wᵀx per obs (O,3)
-        t = _pt_sum(wtx, pt_idx, n_points, axis_name, plans)      # (P,3)
-        u = jnp.einsum("pij,pj->pi", Vinv, t)                     # V⁻¹ Wᵀ x
-        z = jnp.einsum("oij,oj->oi", W, u[pt_idx])                # (O,dc)
-        z = _cam_sum(z, cam_idx, n_cameras, axis_name, plans)
-        return y - z
+        y = jnp.einsum("cij,cj->ci", Ul, x)              # U_λ x (replicated)
+        xg = x.T[:, cam_idx]                             # (dc, O)
+        wtx = _wt_dot(W, xg, dc)                         # (3, O)
+        t = _pt_sum_t(wtx, pt_idx, n_points, axis_name, plans)   # (3, P)
+        u = _matmul_rows_33(Vinv, t)                     # (3, P)
+        ug = u[:, pt_idx]                                # (3, O)
+        z = _w_dot(W, ug, dc)                            # (dc, O)
+        z = _cam_sum_t(z, cam_idx, n_cameras, axis_name, plans)  # (dc, C)
+        return y - z.T
 
     return matvec
 
 
 def back_substitute(B: BlockSystem, Vinv, dx_cam, axis_name=None, plans=None):
     """δ_p = V_λ⁻¹ (−g_p − Wᵀ δ_c) → (P, 3)."""
-    wtd = jnp.einsum("oji,oj->oi", B.W, dx_cam[B.cam_idx])  # (O,3)
-    n_points = B.V.shape[0]
-    s = _pt_sum(wtd, B.pt_idx, n_points, axis_name, plans)
-    return jnp.einsum("pij,pj->pi", Vinv, -B.gp - s)
+    dc = B.W.shape[0] // 3
+    dxg = dx_cam.T[:, B.cam_idx]                         # (dc, O)
+    wtd = _wt_dot(B.W, dxg, dc)                          # (3, O)
+    n_points = B.V.shape[-1]
+    s = _pt_sum_t(wtd, B.pt_idx, n_points, axis_name, plans)     # (3, P)
+    return _matmul_rows_33(Vinv, -B.gp - s).T
 
 
 def solve_schur_pcg(B: BlockSystem, lam, *, cg_max_iters: int, cg_tol: float,
@@ -126,9 +181,9 @@ def solve_schur_pcg(B: BlockSystem, lam, *, cg_max_iters: int, cg_tol: float,
     from tpu_ba.solver.pcg import pcg
 
     Ul, Vl = damp_blocks(B, lam, diag_floor, diag_ceil)
-    Vinv = inv3x3(Vl)
-    n_cameras, _, _ = Ul.shape
-    n_points = Vl.shape[0]
+    Vinv = inv3x3_rows(Vl)                               # (9, P)
+    n_cameras = Ul.shape[0]
+    n_points = Vl.shape[-1]
 
     b = schur_rhs(B, Vinv, axis_name, plans)
     matvec = make_schur_matvec(Ul, B.W, Vinv, B.cam_idx, B.pt_idx, n_points,
