@@ -73,6 +73,17 @@ def lm_loop(cams0, pts0, obs, ci, pi, mask, n_cameras: int, n_points: int,
                 cg_max_iters=config.cg_max_iters, cg_tol=config.cg_tol,
                 diag_floor=config.diag_floor, diag_ceil=config.diag_ceil,
             )
+        elif config.linear_solver in ("schur_sparse", "schur_sparse_pallas"):
+            if axis_name is not None:
+                raise ValueError("schur_sparse has no sharded path; use schur_pcg")
+            from tpu_ba.solver import pairs as pairs_mod
+
+            return pairs_mod.solve_schur_sparse(
+                B, lam, pairs, pair_data,
+                cg_max_iters=config.cg_max_iters, cg_tol=config.cg_tol,
+                diag_floor=config.diag_floor, diag_ceil=config.diag_ceil,
+                plans=plans,
+            )
         elif config.linear_solver in ("schur_pcg", "schur_pcg_pallas"):
             return schur_mod.solve_schur_pcg(
                 B, lam,
@@ -240,15 +251,18 @@ def solve(problem: BAProblem, config: LMConfig | None = None) -> LMResult:
         raise ValueError(f"solve() currently handles the 'bal' model; got {problem.model!r}")
     plans = None
     pairs = None
-    if config.linear_solver in ("schur_pcg_pallas", "schur_dense_pallas"):
+    if config.linear_solver in ("schur_pcg_pallas", "schur_dense_pallas",
+                                "schur_sparse_pallas"):
         from tpu_ba.solver.plans import build_plans
 
         plans = build_plans(problem.cam_idx, problem.pt_idx,
                             problem.cameras.shape[0], problem.points.shape[0])
-    if config.linear_solver in ("schur_dense", "schur_dense_pallas"):
+    if config.linear_solver in ("schur_dense", "schur_dense_pallas",
+                                "schur_sparse", "schur_sparse_pallas"):
         from tpu_ba.solver.pairs import build_pair_plan
 
-        pairs = build_pair_plan(problem.cam_idx, problem.pt_idx, problem.n_obs,
-                                problem.cameras.shape[0],
-                                problem.points.shape[0])
+        pairs = build_pair_plan(
+            problem.cam_idx, problem.pt_idx, problem.n_obs,
+            problem.cameras.shape[0], problem.points.shape[0],
+            with_kernel_plans=config.linear_solver == "schur_sparse_pallas")
     return _solve_jit(problem, config, plans, pairs)

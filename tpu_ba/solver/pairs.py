@@ -46,8 +46,10 @@ def _round_up(x: int, m: int) -> int:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["pair_i", "pair_j", "pair_pt", "pair_key"],
-    meta_fields=["n_pairs", "n_cameras", "max_degree"],
+    data_fields=["pair_i", "pair_j", "pair_pt", "pair_key",
+                 "pair_seg", "seg_ci", "seg_cj", "diag_pos"],
+    meta_fields=["n_pairs", "n_cameras", "max_degree",
+                 "n_segments", "k_pad", "seg_plan", "ci_plan"],
 )
 @dataclasses.dataclass(frozen=True)
 class PairPlan:
@@ -55,24 +57,46 @@ class PairPlan:
 
     Padding pairs carry key == C² (a trash segment sliced off after the
     reduction), so they never touch S regardless of their gathered values.
+
+    The *compact* fields index the K distinct covisible camera pairs (the
+    nonzero 9×9 blocks of S) instead of the dense C² grid: ``pair_seg`` maps
+    each pair to its compact segment 0..K-1 (padding → k_pad−1, zeroed after
+    the reduction), ``seg_ci``/``seg_cj`` give each segment's camera pair
+    (padding segments carry ci == C, a trash row for the matvec reduction),
+    and ``diag_pos`` locates camera c's (c, c) block. ``seg_plan``/``ci_plan``
+    are the static Pallas segment-sum schedules for the pair→segment and
+    segment→camera reductions (None ⇒ jnp fallback, the CPU/test path).
     """
 
     pair_i: jax.Array    # (Np,) int32 — observation index of the row side
     pair_j: jax.Array    # (Np,) int32 — observation index of the column side
     pair_pt: jax.Array   # (Np,) int32 — shared point id
     pair_key: jax.Array  # (Np,) int32 — ci·C + cj, ascending; C² on padding
+    pair_seg: jax.Array  # (Np,) int32 — compact segment id, ascending
+    seg_ci: jax.Array    # (k_pad,) int32 — row camera per segment; C on pad
+    seg_cj: jax.Array    # (k_pad,) int32 — col camera per segment; 0 on pad
+    diag_pos: jax.Array  # (C,) int32 — segment id of block (c, c); k_pad−1 if absent
     n_pairs: int         # padded pair count
     n_cameras: int
     max_degree: int
+    n_segments: int      # K — true number of covisible camera pairs
+    k_pad: int           # padded segment count (multiple of the matvec tile)
+    seg_plan: object = None   # SegsumPlan for pairs → segments (or None)
+    ci_plan: object = None    # SegsumPlan for segments → cameras (or None)
 
 
 def build_pair_plan(cam_idx, pt_idx, n_obs: int, n_cameras: int, n_points: int,
                     *, max_degree: int = 64,
-                    pad_multiple: int = 2048) -> PairPlan:
+                    pad_multiple: int = 2048,
+                    with_kernel_plans: bool = False) -> PairPlan:
     """Host-side plan: enumerate all ordered observation pairs sharing a
     point, sorted by camera-pair key. Raises if any point's track length
     exceeds ``max_degree`` (quadratic pair blowup — use the matrix-free
-    solver for such problems until the hybrid path lands)."""
+    solver for such problems until the hybrid path lands).
+
+    ``with_kernel_plans`` additionally builds the static Pallas segment-sum
+    schedules for the compact block-sparse path (TPU only — the jnp
+    fallback runs when they are None)."""
     ci = np.asarray(cam_idx)[:n_obs].astype(np.int64)
     pi = np.asarray(pt_idx)[:n_obs].astype(np.int64)
 
@@ -118,14 +142,45 @@ def build_pair_plan(cam_idx, pt_idx, n_obs: int, n_cameras: int, n_points: int,
     pair_p = np.concatenate([pair_p, np.zeros(pad, np.int64)])
     key = np.concatenate([key, np.full(pad, n_cameras * n_cameras, np.int64)])
 
+    # compact covisibility segments: rank the K distinct real keys; padding
+    # pairs land in the trash segment k_pad−1 (zeroed after the reduction)
+    uniq, inv = np.unique(key[:np_real], return_inverse=True)
+    K = int(uniq.shape[0])
+    k_pad = _round_up(K + 1, pad_multiple)
+    pair_seg = np.concatenate([inv, np.full(pad, k_pad - 1, np.int64)])
+    seg_ci = np.full(k_pad, n_cameras, np.int64)
+    seg_cj = np.zeros(k_pad, np.int64)
+    seg_ci[:K] = uniq // n_cameras
+    seg_cj[:K] = uniq % n_cameras
+    diag_pos = np.searchsorted(uniq, np.arange(n_cameras) * (n_cameras + 1))
+    diag_pos = np.minimum(diag_pos, max(K - 1, 0))
+    hit = uniq[diag_pos] == np.arange(n_cameras) * (n_cameras + 1) if K else \
+        np.zeros(n_cameras, bool)
+    diag_pos = np.where(hit, diag_pos, k_pad - 1)
+
+    seg_plan = ci_plan = None
+    if with_kernel_plans:
+        from tpu_ba.kernels.segsum import build_segsum_plan
+
+        seg_plan = build_segsum_plan(pair_seg, k_pad, tile=pad_multiple)
+        ci_plan = build_segsum_plan(seg_ci, n_cameras + 1, tile=pad_multiple)
+
     return PairPlan(
         pair_i=jnp.asarray(pair_i.astype(np.int32)),
         pair_j=jnp.asarray(pair_j.astype(np.int32)),
         pair_pt=jnp.asarray(pair_p.astype(np.int32)),
         pair_key=jnp.asarray(key.astype(np.int32)),
+        pair_seg=jnp.asarray(pair_seg.astype(np.int32)),
+        seg_ci=jnp.asarray(seg_ci.astype(np.int32)),
+        seg_cj=jnp.asarray(seg_cj.astype(np.int32)),
+        diag_pos=jnp.asarray(diag_pos.astype(np.int32)),
         n_pairs=int(np_pad),
         n_cameras=int(n_cameras),
         max_degree=int(dmax),
+        n_segments=K,
+        k_pad=int(k_pad),
+        seg_plan=seg_plan,
+        ci_plan=ci_plan,
     )
 
 
@@ -263,4 +318,80 @@ def solve_schur_dense(B: BlockSystem, lam, pairs: PairPlan, pair_data=None, *,
     dx_cam, cg_iters = pcg(matvec, b, precond,
                            max_iters=cg_max_iters, tol=cg_tol)
     dx_pt = back_substitute(B, Vinv_pts, dx_cam)
+    return dx_cam, dx_pt, cg_iters
+
+
+def _compact_blocks(B: BlockSystem, lam, pairs: PairPlan, pair_data,
+                    diag_floor: float, diag_ceil: float):
+    """blk (dc², k_pad): the K nonzero (dc×dc) blocks of T = W V_λ⁻¹ Wᵀ in
+    compact covisibility-segment order (blk[dc·i+j, k] = T_{seg_ci[k],
+    seg_cj[k]}[i, j]); columns ≥ K are exact zeros. The reduction runs over
+    *sorted compact* segment ids — K ≈ covisible pairs, not C² — which is
+    what makes it Pallas-one-hot friendly (dense chunks) and the reason this
+    path beats the dense-T4 build ~20× at BAL scale."""
+    dc = B.U.shape[-1]
+    vals_t = _pair_products_t(pair_data, lam, dc, diag_floor, diag_ceil)
+    if pairs.seg_plan is not None:
+        from tpu_ba.kernels.segsum import sorted_segment_sum_t
+
+        blk = sorted_segment_sum_t(vals_t, pairs.pair_seg, pairs.k_pad,
+                                   plan=pairs.seg_plan)
+    else:
+        blk = jax.ops.segment_sum(vals_t.T, pairs.pair_seg, pairs.k_pad,
+                                  indices_are_sorted=True).T
+    # padding pairs accumulate garbage into the trash tail — zero it so
+    # diag_pos/padding segments read exact zeros
+    return blk.at[:, pairs.n_segments:].set(0.0)
+
+
+def solve_schur_sparse(B: BlockSystem, lam, pairs: PairPlan, pair_data=None, *,
+                       cg_max_iters: int, cg_tol: float,
+                       diag_floor: float, diag_ceil: float, plans=None):
+    """Linear solve on the *block-sparse* explicit reduced camera system.
+
+    Same contract as solve_schur_dense, but S's off-diagonal structure is
+    kept as K compact covisibility blocks instead of a dense (dc,dc,C,C)
+    tensor: the per-λ build reduces pairs into (dc², K) and the CG matvec is
+    gather → per-segment block·vector → segment-sum by row camera. For
+    sparse covisibility (Ladybug-class: K ≪ C²) this cuts both the per-λ
+    build and the per-CG-iteration HBM traffic by ~C²/K."""
+    from tpu_ba.solver.pcg import pcg
+
+    if pair_data is None:
+        pair_data = precompute_pair_data(B, pairs)
+    C = pairs.n_cameras
+    dc = B.U.shape[-1]
+
+    Ul, Vl_pts = damp_blocks(B, lam, diag_floor, diag_ceil)
+    blk = _compact_blocks(B, lam, pairs, pair_data, diag_floor, diag_ceil)
+
+    diag_T = blk[:, pairs.diag_pos]                            # (dc², C)
+    diag_S = Ul - diag_T.reshape(dc, dc, C).transpose(2, 0, 1)
+    Minv = inv_spd_small(diag_S)
+
+    Vinv_pts = inv3x3_rows(Vl_pts)
+    b = schur_rhs(B, Vinv_pts, None, plans)                    # (C, dc)
+
+    def matvec(x):
+        y = jnp.einsum("cij,cj->ci", Ul, x)
+        xg = x.T[:, pairs.seg_cj]                              # (dc, k_pad)
+        z = jnp.stack([
+            sum(blk[dc * i + j] * xg[j] for j in range(dc)) for i in range(dc)
+        ])                                                     # (dc, k_pad)
+        if pairs.ci_plan is not None:
+            from tpu_ba.kernels.segsum import sorted_segment_sum_t
+
+            t = sorted_segment_sum_t(z, pairs.seg_ci, C + 1,
+                                     plan=pairs.ci_plan)
+        else:
+            t = jax.ops.segment_sum(z.T, pairs.seg_ci, C + 1,
+                                    indices_are_sorted=True).T
+        return y - t[:, :C].T
+
+    def precond(r):
+        return jnp.einsum("cij,cj->ci", Minv, r)
+
+    dx_cam, cg_iters = pcg(matvec, b, precond,
+                           max_iters=cg_max_iters, tol=cg_tol)
+    dx_pt = back_substitute(B, Vinv_pts, dx_cam, None, plans)
     return dx_cam, dx_pt, cg_iters
