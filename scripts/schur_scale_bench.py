@@ -21,21 +21,23 @@ import time
 import numpy as np
 
 
-def timeit_loop(fn_once, n, warmup=1):
-    """fn_once: () -> arrays; builds a jit that runs fn n times via fori."""
+def timeit_loop(fn_once, n):
+    """fn_once: () -> arrays; builds a jit that runs fn n times via fori.
+    Reports (sec_per_op, compile_s) with compile_s = first call minus one
+    steady-state run (the first call includes a full timed execution)."""
     import jax
 
     t0 = time.perf_counter()
     out = fn_once()
     jax.block_until_ready(out)
-    compile_s = time.perf_counter() - t0
+    first_s = time.perf_counter() - t0
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         out = fn_once()
         jax.block_until_ready(out)
         best = min(best, time.perf_counter() - t0)
-    return best / n, compile_s
+    return best / n, max(first_s - best, 0.0)
 
 
 def main():

@@ -15,7 +15,8 @@ from tpu_ba.solver.dense import solve_dense
 from tpu_ba.solver.lm import solve
 from tpu_ba.solver.normal import assemble, damp_blocks
 from tpu_ba.solver.pairs import (build_dense_schur, build_pair_plan,
-                                 precompute_pair_data, solve_schur_dense)
+                                 precompute_pair_data, solve_schur_dense,
+                                 solve_schur_sparse)
 from tpu_ba.solver.schur import inv3x3
 
 
@@ -81,7 +82,7 @@ def test_schur_dense_solve_matches_dense_oracle():
     pairs = _plan(problem)
     for lam in [1e-6, 1e-3, 1e0]:
         dxc_d, dxp_d = solve_dense(B, lam)
-        dxc, dxp, _ = solve_schur_dense(
+        dxc, dxp, _, _ = solve_schur_dense(
             B, lam, pairs, cg_max_iters=500, cg_tol=1e-14,
             diag_floor=1e-6, diag_ceil=1e32)
         np.testing.assert_allclose(dxc, dxc_d, rtol=1e-6, atol=1e-9)
@@ -107,20 +108,153 @@ def test_schur_dense_with_robust_kernel():
     problem, B = _system(seed=2, robust=1)  # Huber
     pairs = _plan(problem)
     dxc_d, dxp_d = solve_dense(B, 1e-3)
-    dxc, dxp, _ = solve_schur_dense(
+    dxc, dxp, _, _ = solve_schur_dense(
         B, 1e-3, pairs, cg_max_iters=500, cg_tol=1e-14,
         diag_floor=1e-6, diag_ceil=1e32)
     np.testing.assert_allclose(dxc, dxc_d, rtol=1e-6, atol=1e-9)
     np.testing.assert_allclose(dxp, dxp_d, rtol=1e-6, atol=1e-9)
 
 
-def test_pair_plan_rejects_heavy_tracks():
+def test_schur_sparse_solve_matches_oracles():
+    """The compact block-sparse path equals both solve_schur_dense and the
+    full dense solve across damping regimes (ADVICE.md round 1, medium)."""
+    problem, B = _system(seed=5)
+    pairs = _plan(problem)
+    for lam in [1e-6, 1e-3, 1e0]:
+        dxc_d, dxp_d = solve_dense(B, lam)
+        dxc_e, dxp_e, _, _ = solve_schur_dense(
+            B, lam, pairs, cg_max_iters=500, cg_tol=1e-14,
+            diag_floor=1e-6, diag_ceil=1e32)
+        dxc, dxp, _, _ = solve_schur_sparse(
+            B, lam, pairs, cg_max_iters=500, cg_tol=1e-14,
+            diag_floor=1e-6, diag_ceil=1e32)
+        np.testing.assert_allclose(dxc, dxc_d, rtol=1e-6, atol=1e-9)
+        np.testing.assert_allclose(dxp, dxp_d, rtol=1e-6, atol=1e-9)
+        np.testing.assert_allclose(dxc, dxc_e, rtol=1e-8, atol=1e-11)
+
+
+def test_schur_sparse_disconnected_camera():
+    """A camera with zero observations has no (c,c) covisibility segment:
+    diag_pos points at the trash column, which must read exact zeros
+    (ADVICE.md round 1: diag_pos / trash-segment edge case)."""
     problem, _ = make_synthetic_problem(
-        30, 10, obs_per_point=30, pixel_noise=0.5, seed=4,
+        4, 30, obs_per_point=3, pixel_noise=0.5, seed=7,
         dtype=np.float64, pad_multiple=8)
+    n_obs = problem.n_obs
+    # same observations, but declare 5 cameras — camera 4 observes nothing
+    from tpu_ba.core import make_problem
+    cams5 = np.concatenate([np.asarray(problem.cameras),
+                            np.asarray(problem.cameras)[-1:]], axis=0)
+    problem = make_problem(cams5, np.asarray(problem.points),
+                           np.asarray(problem.obs_2d)[:n_obs],
+                           np.asarray(problem.cam_idx)[:n_obs],
+                           np.asarray(problem.pt_idx)[:n_obs],
+                           dtype=np.float64, pad_multiple=8)
+    r, Jc, Jp = jacobian_blocks_bal(
+        problem.cameras, problem.points, problem.obs_2d,
+        problem.cam_idx, problem.pt_idx, problem.mask)
+    B = assemble(r, Jc, Jp, problem.cam_idx, problem.pt_idx, 5, 30, 0, 1.0,
+                 problem.mask)
+    pairs = _plan(problem)
+    assert int(pairs.diag_pos[4]) == pairs.k_pad - 1  # absent diag → trash
+    dxc_d, dxp_d = solve_dense(B, 1e-3)
+    dxc, dxp, _, _ = solve_schur_sparse(
+        B, 1e-3, pairs, cg_max_iters=500, cg_tol=1e-14,
+        diag_floor=1e-6, diag_ceil=1e32)
+    np.testing.assert_allclose(dxc, dxc_d, rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(dxp, dxp_d, rtol=1e-6, atol=1e-9)
+
+
+def test_schur_sparse_pallas_interpret_matches_jnp():
+    """The Pallas seg_plan/ci_plan path (interpret mode) equals the jnp
+    fallback on the same plan."""
+    from tpu_ba.kernels import segsum as segsum_mod
+
+    problem, B = _system(seed=8)
+    pairs_plain = _plan(problem)
+    pairs_k = build_pair_plan(
+        problem.cam_idx, problem.pt_idx, problem.n_obs,
+        problem.cameras.shape[0], problem.points.shape[0], pad_multiple=16,
+        with_kernel_plans=True)
+    assert pairs_k.seg_plan is not None and pairs_k.ci_plan is not None
+
+    # route the kernel through interpret mode for CPU CI
+    orig = segsum_mod.sorted_segment_sum_t
+
+    def interp(values_t, keys, n_out, plan=None, **kw):
+        kw["interpret"] = True
+        return orig(values_t, keys, n_out, plan=plan, **kw)
+
+    segsum_mod.sorted_segment_sum_t = interp
     try:
-        build_pair_plan(problem.cam_idx, problem.pt_idx, problem.n_obs,
-                        30, 10, max_degree=8)
-        assert False, "expected ValueError for heavy tracks"
-    except ValueError as e:
-        assert "max_degree" in str(e)
+        dxc_k, dxp_k, _, _ = solve_schur_sparse(
+            B, 1e-3, pairs_k, cg_max_iters=500, cg_tol=1e-14,
+            diag_floor=1e-6, diag_ceil=1e32)
+    finally:
+        segsum_mod.sorted_segment_sum_t = orig
+    dxc, dxp, _, _ = solve_schur_sparse(
+        B, 1e-3, pairs_plain, cg_max_iters=500, cg_tol=1e-14,
+        diag_floor=1e-6, diag_ceil=1e32)
+    np.testing.assert_allclose(dxc_k, dxc, rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(dxp_k, dxp, rtol=1e-9, atol=1e-11)
+
+
+def test_lm_with_schur_sparse_converges_like_schur_pcg():
+    problem, gt = make_synthetic_problem(
+        8, 120, obs_per_point=4, pixel_noise=0.5, seed=9,
+        dtype=np.float64, pad_multiple=64)
+    cfg_pcg = LMConfig(max_iters=15, linear_solver="schur_pcg",
+                       cg_max_iters=200, cg_tol=1e-12)
+    cfg_sp = LMConfig(max_iters=15, linear_solver="schur_sparse",
+                      cg_max_iters=200, cg_tol=1e-12)
+    res_pcg = solve(problem, cfg_pcg)
+    res_sp = solve(problem, cfg_sp)
+    np.testing.assert_allclose(float(res_sp.cost), float(res_pcg.cost),
+                               rtol=1e-4)
+
+
+def test_heavy_tracks_go_hybrid_and_match_oracle():
+    """Tracks longer than max_degree are split into the matrix-free heavy
+    side channel; the hybrid solve must still equal the dense oracle
+    (VERDICT.md round 1, next #2: max_degree must not be a hard failure)."""
+    problem, _ = make_synthetic_problem(
+        30, 12, obs_per_point=25, pixel_noise=0.5, seed=4,
+        dtype=np.float64, pad_multiple=8)
+    pairs = build_pair_plan(problem.cam_idx, problem.pt_idx, problem.n_obs,
+                            30, 12, max_degree=8, pad_multiple=16)
+    assert pairs.n_heavy_pts > 0 and pairs.n_heavy_obs > 0
+
+    r, Jc, Jp = jacobian_blocks_bal(
+        problem.cameras, problem.points, problem.obs_2d,
+        problem.cam_idx, problem.pt_idx, problem.mask)
+    B = assemble(r, Jc, Jp, problem.cam_idx, problem.pt_idx, 30, 12, 0, 1.0,
+                 problem.mask)
+    for lam in [1e-6, 1e-3, 1e0]:
+        dxc_d, dxp_d = solve_dense(B, lam)
+        for solver in (solve_schur_dense, solve_schur_sparse):
+            dxc, dxp, _, ok = solver(
+                B, lam, pairs, cg_max_iters=800, cg_tol=1e-14,
+                diag_floor=1e-6, diag_ceil=1e32)
+            np.testing.assert_allclose(dxc, dxc_d, rtol=1e-6, atol=1e-9)
+            np.testing.assert_allclose(dxp, dxp_d, rtol=1e-6, atol=1e-9)
+
+
+def test_all_heavy_tracks_hybrid():
+    """Degenerate split: every point is heavy (no pair segments at all)."""
+    problem, _ = make_synthetic_problem(
+        20, 6, obs_per_point=15, pixel_noise=0.5, seed=6,
+        dtype=np.float64, pad_multiple=8)
+    pairs = build_pair_plan(problem.cam_idx, problem.pt_idx, problem.n_obs,
+                            20, 6, max_degree=2, pad_multiple=16)
+    assert pairs.n_heavy_pts == 6
+    r, Jc, Jp = jacobian_blocks_bal(
+        problem.cameras, problem.points, problem.obs_2d,
+        problem.cam_idx, problem.pt_idx, problem.mask)
+    B = assemble(r, Jc, Jp, problem.cam_idx, problem.pt_idx, 20, 6, 0, 1.0,
+                 problem.mask)
+    dxc_d, dxp_d = solve_dense(B, 1e-3)
+    dxc, dxp, _, _ = solve_schur_sparse(
+        B, 1e-3, pairs, cg_max_iters=800, cg_tol=1e-14,
+        diag_floor=1e-6, diag_ceil=1e32)
+    np.testing.assert_allclose(dxc, dxc_d, rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(dxp, dxp_d, rtol=1e-6, atol=1e-9)

@@ -40,7 +40,7 @@ def test_pcg_matches_direct():
     A = rng.standard_normal((40, 40))
     A = A @ A.T + 40 * np.eye(40)
     b = rng.standard_normal(40)
-    x, iters = pcg(lambda v: jnp.asarray(A) @ v, jnp.asarray(b),
+    x, iters, _ok = pcg(lambda v: jnp.asarray(A) @ v, jnp.asarray(b),
                    lambda r: r / jnp.asarray(np.diagonal(A)),
                    max_iters=200, tol=1e-12)
     np.testing.assert_allclose(x, np.linalg.solve(A, b), atol=1e-8)
@@ -52,7 +52,7 @@ def test_schur_matches_dense():
     _, B = _tiny_system()
     for lam in [1e-6, 1e-3, 1e0]:
         dxc_d, dxp_d = solve_dense(B, lam)
-        dxc_s, dxp_s, _ = solve_schur_pcg(
+        dxc_s, dxp_s, _, _ = solve_schur_pcg(
             B, lam, cg_max_iters=500, cg_tol=1e-14, diag_floor=1e-6, diag_ceil=1e32)
         np.testing.assert_allclose(dxc_s, dxc_d, rtol=1e-6, atol=1e-9)
         np.testing.assert_allclose(dxp_s, dxp_d, rtol=1e-6, atol=1e-9)

@@ -117,21 +117,18 @@ def normalize_bal(cams, pts):
     # X' = scale (X - med). Camera: P = R X + t = R (X'/scale + med) + t
     #   ⇒ with R' = R, t' = scale (t + R med), P' = scale·P projects the same
     #   (projection divides x/z so global scale cancels).
-    from tpu_ba.io.synthetic import _matrix_to_aa_np  # noqa: F401 (doc ref)
-
-    for c in range(cams.shape[0]):
-        aa = cams[c, 0:3]
-        theta = np.linalg.norm(aa)
-        if theta < 1e-12:
-            Rmed = med
-        else:
-            k = aa / theta
-            Rmed = (
-                med * np.cos(theta)
-                + _cross_np(k, med) * np.sin(theta)
-                + k * (k @ med) * (1 - np.cos(theta))
-            )
-        cams[c, 3:6] = scale * (cams[c, 3:6] + Rmed)
+    # vectorized Rodrigues over all cameras at once (a Python per-camera
+    # loop costs ~seconds at Venice's 1778 cameras and sits on the real-BAL
+    # load path — VERDICT.md round 1, weak #9)
+    aa = cams[:, 0:3]
+    theta = np.linalg.norm(aa, axis=1, keepdims=True)            # (C, 1)
+    k = aa / np.where(theta < 1e-12, 1.0, theta)                 # (C, 3)
+    medb = np.broadcast_to(med, aa.shape)
+    ct, st = np.cos(theta), np.sin(theta)
+    Rmed = (medb * ct + _cross_np(k, medb) * st
+            + k * (k @ med)[:, None] * (1.0 - ct))
+    Rmed = np.where(theta < 1e-12, medb, Rmed)
+    cams[:, 3:6] = scale * (cams[:, 3:6] + Rmed)
     pts = scale * (pts - med)
     return cams, pts
 

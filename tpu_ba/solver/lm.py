@@ -13,9 +13,20 @@ Schur routines (keyed off ``axis_name``), so the distributed solver
 (tpu_ba/sharding/) is this exact code over observation shards.
 
 The linear solver is selected statically from LMConfig.linear_solver:
-  * "dense"            — full H solve (oracle / tiny problems)
-  * "schur_pcg"        — matrix-free Schur + block-Jacobi PCG (production)
-  * "schur_pcg_pallas" — same, with Pallas assembly/matvec kernels
+  * "dense"               — full H solve (oracle / tiny problems)
+  * "schur_pcg"           — matrix-free Schur + block-Jacobi PCG (the
+                            distributed / large-problem path)
+  * "schur_pcg_pallas"    — same, with Pallas segment-sum kernels
+  * "schur_dense"         — explicit dense reduced camera system from the
+                            covisibility-pair plan (single-chip, C ≲ 2000)
+  * "schur_dense_pallas"  — same, with the Pallas pair reduction
+  * "schur_sparse"        — explicit *block-sparse* reduced system: K compact
+                            covisibility blocks instead of the dense C² grid
+  * "schur_sparse_pallas" — same, with Pallas pair/segment reductions
+
+A PCG pᵀAp ≤ 0 breakdown (non-PD S at low damping) marks the step not-ok;
+the trust-region loop force-rejects it and raises λ instead of evaluating a
+garbage direction.
 """
 
 from __future__ import annotations
@@ -62,7 +73,7 @@ def lm_loop(cams0, pts0, obs, ci, pi, mask, n_cameras: int, n_points: int,
             if axis_name is not None:
                 raise ValueError("dense solver has no sharded path")
             dxc, dxp = dense_mod.solve_dense(B, lam, config.diag_floor, config.diag_ceil)
-            return dxc, dxp, jnp.asarray(0, jnp.int32)
+            return dxc, dxp, jnp.asarray(0, jnp.int32), jnp.asarray(True)
         elif config.linear_solver in ("schur_dense", "schur_dense_pallas"):
             if axis_name is not None:
                 raise ValueError("schur_dense has no sharded path; use schur_pcg")
@@ -147,7 +158,7 @@ def lm_loop(cams0, pts0, obs, ci, pi, mask, n_cameras: int, n_points: int,
         def try_body(tstate):
             lam, nu, it, _, dxc0, dxp0, nc0, np0, cn0, rg0, hists = tstate
             hist, lam_hist, cg_hist = hists
-            dxc, dxp, _cg = linear_solve(B, lam, pair_data)
+            dxc, dxp, _cg, solve_ok = linear_solve(B, lam, pair_data)
             new_cams = cams + dxc
             new_pts = pts + dxp
             new_cost = cost_fn(new_cams, new_pts)
@@ -161,6 +172,9 @@ def lm_loop(cams0, pts0, obs, ci, pi, mask, n_cameras: int, n_points: int,
                 pred, jnp.asarray(1e-30, dtype))
             accept = jnp.logical_and(new_cost < cost, jnp.isfinite(new_cost))
             accept = jnp.logical_and(accept, pred > 0)
+            # PCG breakdown ⇒ the direction is unusable: force-reject so the
+            # retry raises λ deliberately (restores positive definiteness)
+            accept = jnp.logical_and(accept, solve_ok)
 
             factor = jnp.maximum(
                 jnp.asarray(1.0 / 3.0, dtype),

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -47,9 +48,11 @@ def _round_up(x: int, m: int) -> int:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["pair_i", "pair_j", "pair_pt", "pair_key",
-                 "pair_seg", "seg_ci", "seg_cj", "diag_pos"],
+                 "pair_seg", "seg_ci", "seg_cj", "diag_pos",
+                 "heavy_obs", "heavy_cam", "heavy_seg", "heavy_pt_ids"],
     meta_fields=["n_pairs", "n_cameras", "max_degree",
-                 "n_segments", "k_pad", "seg_plan", "ci_plan"],
+                 "n_segments", "k_pad", "n_heavy_obs", "n_heavy_pts",
+                 "seg_plan", "ci_plan"],
 )
 @dataclasses.dataclass(frozen=True)
 class PairPlan:
@@ -76,11 +79,21 @@ class PairPlan:
     seg_ci: jax.Array    # (k_pad,) int32 — row camera per segment; C on pad
     seg_cj: jax.Array    # (k_pad,) int32 — col camera per segment; 0 on pad
     diag_pos: jax.Array  # (C,) int32 — segment id of block (c, c); k_pad−1 if absent
+    # hybrid heavy-track extension: points whose track length exceeds
+    # max_degree are NOT pair-enumerated (quadratic blowup); their S-term
+    # W V_λ⁻¹ Wᵀ is applied matrix-free per CG iteration over just their
+    # observations (empty arrays when every track fits)
+    heavy_obs: jax.Array     # (Oh,) int32 — observation ids of heavy points
+    heavy_cam: jax.Array     # (Oh,) int32 — camera id per heavy observation
+    heavy_seg: jax.Array     # (Oh,) int32 — compact heavy-point id; n_heavy_pts on padding
+    heavy_pt_ids: jax.Array  # (Ph,) int32 — global point id per compact heavy id
     n_pairs: int         # padded pair count
     n_cameras: int
     max_degree: int
     n_segments: int      # K — true number of covisible camera pairs
     k_pad: int           # padded segment count (multiple of the matvec tile)
+    n_heavy_obs: int     # true heavy observation count (0 ⇒ no hybrid term)
+    n_heavy_pts: int     # number of heavy points
     seg_plan: object = None   # SegsumPlan for pairs → segments (or None)
     ci_plan: object = None    # SegsumPlan for segments → cameras (or None)
 
@@ -90,9 +103,11 @@ def build_pair_plan(cam_idx, pt_idx, n_obs: int, n_cameras: int, n_points: int,
                     pad_multiple: int = 2048,
                     with_kernel_plans: bool = False) -> PairPlan:
     """Host-side plan: enumerate all ordered observation pairs sharing a
-    point, sorted by camera-pair key. Raises if any point's track length
-    exceeds ``max_degree`` (quadratic pair blowup — use the matrix-free
-    solver for such problems until the hybrid path lands).
+    point, sorted by camera-pair key. Points whose track length exceeds
+    ``max_degree`` (quadratic pair blowup) are split off into the *heavy*
+    set: their observations are recorded verbatim and their S-contribution
+    is applied matrix-free inside the CG matvec instead of being
+    pair-materialized (the hybrid path — VERDICT.md round 1, next #2).
 
     ``with_kernel_plans`` additionally builds the static Pallas segment-sum
     schedules for the compact block-sparse path (TPU only — the jnp
@@ -104,14 +119,39 @@ def build_pair_plan(cam_idx, pt_idx, n_obs: int, n_cameras: int, n_points: int,
     pi_sorted = pi[order]
     deg = np.bincount(pi_sorted, minlength=n_points)
     dmax = int(deg.max()) if deg.size else 0
-    if dmax > max_degree:
-        raise ValueError(
-            f"point track length {dmax} exceeds max_degree={max_degree}; "
-            "use linear_solver='schur_pcg' for this problem")
     starts = np.concatenate([[0], np.cumsum(deg)])[:-1]
 
+    # heavy points: matrix-free side channel, excluded from pair enumeration
+    heavy_mask = deg > max_degree
+    heavy_pt_ids = np.nonzero(heavy_mask)[0].astype(np.int64)
+    n_heavy_pts = int(heavy_pt_ids.shape[0])
+    if n_heavy_pts:
+        is_heavy_obs = heavy_mask[pi_sorted]
+        heavy_obs = order[is_heavy_obs]
+        heavy_seg = np.searchsorted(heavy_pt_ids, pi_sorted[is_heavy_obs])
+        # camera-sort so the camera-side reduction of the matrix-free term
+        # runs over sorted keys (the point-side one is unsorted, it is tiny)
+        csort = np.argsort(ci[heavy_obs], kind="stable")
+        heavy_obs, heavy_seg = heavy_obs[csort], heavy_seg[csort]
+        oh = heavy_obs.shape[0]
+        oh_pad = _round_up(oh, 256)
+        pad_h = oh_pad - oh
+        # padding repeats the last observation (keeps the camera keys sorted)
+        # but points at the trash heavy segment n_heavy_pts, whose V_λ⁻¹
+        # column is zeroed in the matvec — exact zero contribution
+        heavy_obs = np.concatenate([heavy_obs, np.full(pad_h, heavy_obs[-1], np.int64)])
+        heavy_seg = np.concatenate([heavy_seg, np.full(pad_h, n_heavy_pts, np.int64)])
+        heavy_cam = ci[heavy_obs]
+        n_heavy_obs = oh
+    else:
+        heavy_obs = np.zeros(0, np.int64)
+        heavy_seg = np.zeros(0, np.int64)
+        heavy_cam = np.zeros(0, np.int64)
+        n_heavy_obs = 0
+
+    light_dmax = int(deg[~heavy_mask].max()) if (~heavy_mask).any() else 0
     chunks_i, chunks_j, chunks_p = [], [], []
-    for d in range(1, dmax + 1):
+    for d in range(1, light_dmax + 1):
         pts = np.nonzero(deg == d)[0]
         if pts.size == 0:
             continue
@@ -174,31 +214,81 @@ def build_pair_plan(cam_idx, pt_idx, n_obs: int, n_cameras: int, n_points: int,
         seg_ci=jnp.asarray(seg_ci.astype(np.int32)),
         seg_cj=jnp.asarray(seg_cj.astype(np.int32)),
         diag_pos=jnp.asarray(diag_pos.astype(np.int32)),
+        heavy_obs=jnp.asarray(heavy_obs.astype(np.int32)),
+        heavy_cam=jnp.asarray(heavy_cam.astype(np.int32)),
+        heavy_seg=jnp.asarray(heavy_seg.astype(np.int32)),
+        heavy_pt_ids=jnp.asarray(heavy_pt_ids.astype(np.int32)),
         n_pairs=int(np_pad),
         n_cameras=int(n_cameras),
         max_degree=int(dmax),
         n_segments=K,
         k_pad=int(k_pad),
+        n_heavy_obs=n_heavy_obs,
+        n_heavy_pts=n_heavy_pts,
         seg_plan=seg_plan,
         ci_plan=ci_plan,
     )
 
 
-def precompute_pair_data(B: BlockSystem, pairs: PairPlan):
-    """λ-free per-linearization gathers into pair order.
+class PairData(NamedTuple):
+    """λ-free per-linearization gathers, reused across λ-retries.
 
-    Returns one packed **lane-major** array (2·3dc+9, Np): rows 0..3dc-1 are
-    W[pair_i], rows 3dc..6dc-1 are W[pair_j], the last 9 rows are
-    V[pair_pt]. Done once per linearization and reused across λ-retries.
+    ``packed`` (2·3dc+9, Np) lane-major: rows 0..3dc-1 are W[pair_i], rows
+    3dc..6dc-1 are W[pair_j], the last 9 rows are V[pair_pt].
+    ``heavy_W`` (3dc, Oh) / ``heavy_V`` (9, Ph) carry the heavy-track side
+    channel (None when every track fits max_degree)."""
+
+    packed: jax.Array
+    heavy_W: jax.Array | None = None
+    heavy_V: jax.Array | None = None
+
+
+def precompute_pair_data(B: BlockSystem, pairs: PairPlan) -> PairData:
+    """λ-free per-linearization gathers into pair order.
 
     The BlockSystem is already lane-major ((3dc,O) / (9,P)), so these are
     pure lane-axis gathers — no transposes, no tile-padding blowup.
     """
-    dc = B.W.shape[0] // 3
     packed = jnp.concatenate(
         [B.W[:, pairs.pair_i], B.W[:, pairs.pair_j], B.V[:, pairs.pair_pt]],
         axis=0)
-    return packed                                      # (6dc+9, Np)
+    if pairs.n_heavy_pts == 0:
+        return PairData(packed)
+    return PairData(packed, B.W[:, pairs.heavy_obs], B.V[:, pairs.heavy_pt_ids])
+
+
+def _heavy_operator(pair_data: PairData, lam, pairs: PairPlan, dc: int,
+                    diag_floor, diag_ceil):
+    """Matrix-free S-term for heavy tracks at damping λ.
+
+    Returns (term, diag_h): ``term(x)`` (C,dc) → (C,dc) applies
+    [W V_λ⁻¹ Wᵀ]_heavy, ``diag_h`` (C, dc, dc) is its exact camera block
+    diagonal (for the block-Jacobi preconditioner). Both are exact-zero when
+    padding rows are touched (the trash V_λ⁻¹ column is zeroed)."""
+    from tpu_ba.solver.schur import (_matmul_rows_33, _w_dot, _wt_dot,
+                                     w_vinv_wt_diag)
+
+    Wh, Vh = pair_data.heavy_W, pair_data.heavy_V
+    C = pairs.n_cameras
+    Ph = pairs.n_heavy_pts
+
+    dV = jnp.clip(jnp.stack([Vh[0], Vh[4], Vh[8]]), diag_floor, diag_ceil)
+    Vl = Vh.at[0].add(lam * dV[0]).at[4].add(lam * dV[1]).at[8].add(lam * dV[2])
+    Vinv = inv3x3_rows(Vl)                                # (9, Ph)
+    Vinv = jnp.pad(Vinv, ((0, 0), (0, 1)))                # trash column = 0
+
+    def term(x):
+        xg = x.T[:, pairs.heavy_cam]                      # (dc, Oh)
+        wtx = _wt_dot(Wh, xg, dc)                         # (3, Oh)
+        t = jax.ops.segment_sum(wtx.T, pairs.heavy_seg, Ph + 1).T   # (3, Ph+1)
+        u = _matmul_rows_33(Vinv, t)                      # (3, Ph+1)
+        ug = u[:, pairs.heavy_seg]                        # (3, Oh)
+        z = _w_dot(Wh, ug, dc)                            # (dc, Oh)
+        return jax.ops.segment_sum(z.T, pairs.heavy_cam, C,
+                                   indices_are_sorted=True)  # (C, dc)
+
+    diag_h = w_vinv_wt_diag(Wh, Vinv, pairs.heavy_cam, pairs.heavy_seg, C)
+    return term, diag_h
 
 
 def _pair_products_t(packed_t, lam, dc: int, diag_floor, diag_ceil):
@@ -257,7 +347,7 @@ def build_schur_t(B: BlockSystem, lam, pairs: PairPlan, pair_data,
     dc = B.U.shape[-1]
     Ul, _ = damp_blocks(B, lam, diag_floor, diag_ceil)
 
-    vals_t = _pair_products_t(pair_data, lam, dc, diag_floor, diag_ceil)
+    vals_t = _pair_products_t(pair_data.packed, lam, dc, diag_floor, diag_ceil)
     T_t = _reduce_pairs_t(vals_t, pairs.pair_key, C, seg_plan)  # (dc², C²)
     T4 = T_t.reshape(dc, dc, C, C)
 
@@ -272,6 +362,10 @@ def build_dense_schur(B: BlockSystem, lam, pairs: PairPlan, pair_data,
     """Materialize S = U_λ − W V_λ⁻¹ Wᵀ as (dc·C, dc·C) plus its exact block
     diagonal (C, dc, dc). Test/oracle entry point — the solver itself stays
     in T-major layout (build_schur_t) and never forms this matrix."""
+    if pairs.n_heavy_pts:
+        raise ValueError("build_dense_schur (test oracle) does not fold in "
+                         "heavy tracks; build the plan with a larger "
+                         "max_degree for matrix materialization")
     C = pairs.n_cameras
     dc = B.U.shape[-1]
     Ul, T4, diag_S = build_schur_t(B, lam, pairs, pair_data,
@@ -287,8 +381,9 @@ def solve_schur_dense(B: BlockSystem, lam, pairs: PairPlan, pair_data=None, *,
                       diag_floor: float, diag_ceil: float):
     """Full linear solve on the explicit dense reduced camera system.
 
-    Returns (δ_cameras, δ_points, cg_iters) — same contract as
+    Returns (δ_cameras, δ_points, cg_iters, ok) — same contract as
     solve_schur_pcg (tpu_ba/solver/schur.py), verified equivalent in tests.
+    ``ok`` is the PCG no-breakdown flag.
     """
     from tpu_ba.solver.pcg import pcg
 
@@ -299,6 +394,11 @@ def solve_schur_dense(B: BlockSystem, lam, pairs: PairPlan, pair_data=None, *,
 
     Ul, T4, diag_S = build_schur_t(B, lam, pairs, pair_data,
                                    diag_floor, diag_ceil)
+    heavy_term = None
+    if pairs.n_heavy_pts:
+        heavy_term, diag_h = _heavy_operator(pair_data, lam, pairs, dc,
+                                             diag_floor, diag_ceil)
+        diag_S = diag_S - diag_h
 
     # point-space inverses for RHS + back-substitution (P-sized, cheap)
     _, Vl_pts = damp_blocks(B, lam, diag_floor, diag_ceil)
@@ -310,15 +410,18 @@ def solve_schur_dense(B: BlockSystem, lam, pairs: PairPlan, pair_data=None, *,
 
     def matvec(x):
         y = jnp.einsum("cij,cj->ci", Ul, x)
-        return y - jnp.einsum("ijcd,dj->ci", T4, x)
+        y = y - jnp.einsum("ijcd,dj->ci", T4, x)
+        if heavy_term is not None:
+            y = y - heavy_term(x)
+        return y
 
     def precond(r):
         return jnp.einsum("cij,cj->ci", Minv, r)
 
-    dx_cam, cg_iters = pcg(matvec, b, precond,
-                           max_iters=cg_max_iters, tol=cg_tol)
+    dx_cam, cg_iters, ok = pcg(matvec, b, precond,
+                               max_iters=cg_max_iters, tol=cg_tol)
     dx_pt = back_substitute(B, Vinv_pts, dx_cam)
-    return dx_cam, dx_pt, cg_iters
+    return dx_cam, dx_pt, cg_iters, ok
 
 
 def _compact_blocks(B: BlockSystem, lam, pairs: PairPlan, pair_data,
@@ -330,7 +433,7 @@ def _compact_blocks(B: BlockSystem, lam, pairs: PairPlan, pair_data,
     what makes it Pallas-one-hot friendly (dense chunks) and the reason this
     path beats the dense-T4 build ~20× at BAL scale."""
     dc = B.U.shape[-1]
-    vals_t = _pair_products_t(pair_data, lam, dc, diag_floor, diag_ceil)
+    vals_t = _pair_products_t(pair_data.packed, lam, dc, diag_floor, diag_ceil)
     if pairs.seg_plan is not None:
         from tpu_ba.kernels.segsum import sorted_segment_sum_t
 
@@ -339,9 +442,10 @@ def _compact_blocks(B: BlockSystem, lam, pairs: PairPlan, pair_data,
     else:
         blk = jax.ops.segment_sum(vals_t.T, pairs.pair_seg, pairs.k_pad,
                                   indices_are_sorted=True).T
-    # padding pairs accumulate garbage into the trash tail — zero it so
-    # diag_pos/padding segments read exact zeros
-    return blk.at[:, pairs.n_segments:].set(0.0)
+    # only the trash column k_pad−1 receives padding pairs (segment_sum
+    # zero-initializes untouched segments) — zero it so diag_pos reads of
+    # absent diagonals are exact zeros
+    return blk.at[:, -1].set(0.0)
 
 
 def solve_schur_sparse(B: BlockSystem, lam, pairs: PairPlan, pair_data=None, *,
@@ -367,6 +471,11 @@ def solve_schur_sparse(B: BlockSystem, lam, pairs: PairPlan, pair_data=None, *,
 
     diag_T = blk[:, pairs.diag_pos]                            # (dc², C)
     diag_S = Ul - diag_T.reshape(dc, dc, C).transpose(2, 0, 1)
+    heavy_term = None
+    if pairs.n_heavy_pts:
+        heavy_term, diag_h = _heavy_operator(pair_data, lam, pairs, dc,
+                                             diag_floor, diag_ceil)
+        diag_S = diag_S - diag_h
     Minv = inv_spd_small(diag_S)
 
     Vinv_pts = inv3x3_rows(Vl_pts)
@@ -386,12 +495,15 @@ def solve_schur_sparse(B: BlockSystem, lam, pairs: PairPlan, pair_data=None, *,
         else:
             t = jax.ops.segment_sum(z.T, pairs.seg_ci, C + 1,
                                     indices_are_sorted=True).T
-        return y - t[:, :C].T
+        y = y - t[:, :C].T
+        if heavy_term is not None:
+            y = y - heavy_term(x)
+        return y
 
     def precond(r):
         return jnp.einsum("cij,cj->ci", Minv, r)
 
-    dx_cam, cg_iters = pcg(matvec, b, precond,
-                           max_iters=cg_max_iters, tol=cg_tol)
+    dx_cam, cg_iters, ok = pcg(matvec, b, precond,
+                               max_iters=cg_max_iters, tol=cg_tol)
     dx_pt = back_substitute(B, Vinv_pts, dx_cam, None, plans)
-    return dx_cam, dx_pt, cg_iters
+    return dx_cam, dx_pt, cg_iters, ok

@@ -18,7 +18,11 @@ def pcg(matvec, b, precond, *, max_iters: int, tol: float, x0=None):
 
     matvec: x ↦ A·x, precond: r ↦ M⁻¹·r — both over arbitrary pytree-free
     array shapes (reductions use the full array).
-    Returns (x, iterations_used).
+    Returns (x, iterations_used, ok) — ``ok`` is False when a pᵀAp ≤ 0
+    breakdown was hit (A not positive definite at this damping). The
+    iteration stops at the breakdown and the caller (the LM λ-retry loop)
+    must treat the direction as unusable and raise λ instead of silently
+    absorbing a garbage step (VERDICT.md round 1, weak #7).
     """
     if x0 is None:
         x0 = jnp.zeros_like(b)
@@ -34,24 +38,27 @@ def pcg(matvec, b, precond, *, max_iters: int, tol: float, x0=None):
     tol2 = tol * tol * jnp.maximum(b_norm2, jnp.asarray(1e-30, b.dtype))
 
     def cond(state):
-        _, r, _, _, k, _ = state
-        return jnp.logical_and(k < max_iters, dot(r, r) > tol2)
+        _, r, _, _, k, ok = state
+        go = jnp.logical_and(k < max_iters, dot(r, r) > tol2)
+        return jnp.logical_and(go, ok)     # stop immediately on breakdown
 
     def body(state):
-        x, r, p, rz, k, _ = state
+        x, r, p, rz, k, ok = state
         Ap = matvec(p)
         pAp = dot(p, Ap)
-        # guard against breakdown (pAp ≤ 0 ⇒ S not PD at this damping; stop)
-        alpha = rz / jnp.where(jnp.abs(pAp) < 1e-30, 1e-30, pAp)
+        # breakdown (pAp ≤ 0 ⇒ S not PD at this damping): freeze the iterate,
+        # flag not-ok; cond exits on the next check
+        broke = pAp <= 0
+        alpha = jnp.where(broke, 0.0, rz / jnp.where(jnp.abs(pAp) < 1e-30, 1e-30, pAp))
         x = x + alpha * p
         r = r - alpha * Ap
         z = precond(r)
         rz_new = dot(r, z)
         beta = rz_new / jnp.where(jnp.abs(rz) < 1e-30, 1e-30, rz)
         p = z + beta * p
-        return (x, r, p, rz_new, k + 1, pAp > 0)
+        return (x, r, p, rz_new, k + 1, jnp.logical_and(ok, jnp.logical_not(broke)))
 
     x, r, p, rz, k, ok = jax.lax.while_loop(
         cond, body, (x0, r0, p0, rz0, jnp.asarray(0, jnp.int32), jnp.asarray(True))
     )
-    return x, k
+    return x, k, ok

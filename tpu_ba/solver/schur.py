@@ -177,7 +177,10 @@ def back_substitute(B: BlockSystem, Vinv, dx_cam, axis_name=None, plans=None):
 def solve_schur_pcg(B: BlockSystem, lam, *, cg_max_iters: int, cg_tol: float,
                     diag_floor: float, diag_ceil: float, axis_name=None,
                     plans=None):
-    """Full Schur+PCG linear solve. Returns (δ_cameras, δ_points, cg_iters)."""
+    """Full Schur+PCG linear solve.
+
+    Returns (δ_cameras, δ_points, cg_iters, ok) — ``ok`` is the PCG
+    no-breakdown flag (False ⇒ the LM loop must reject and raise λ)."""
     from tpu_ba.solver.pcg import pcg
 
     Ul, Vl = damp_blocks(B, lam, diag_floor, diag_ceil)
@@ -200,6 +203,6 @@ def solve_schur_pcg(B: BlockSystem, lam, *, cg_max_iters: int, cg_tol: float,
     def precond(r):
         return jnp.einsum("cij,cj->ci", Minv, r)
 
-    dx_cam, cg_iters = pcg(matvec, b, precond, max_iters=cg_max_iters, tol=cg_tol)
+    dx_cam, cg_iters, ok = pcg(matvec, b, precond, max_iters=cg_max_iters, tol=cg_tol)
     dx_pt = back_substitute(B, Vinv, dx_cam, axis_name, plans)
-    return dx_cam, dx_pt, cg_iters
+    return dx_cam, dx_pt, cg_iters, ok
