@@ -87,9 +87,9 @@ def main():
 
     plans = build_plans(problem.cam_idx, problem.pt_idx, C, P)
     print(f"cam plan: chunk={plans.cam_plan.chunk} n_chunks={plans.cam_plan.n_chunks} "
-          f"tile={plans.cam_plan.tile} max_tiles={plans.cam_plan.max_tiles_per_chunk}")
+          f"tile={plans.cam_plan.tile} grid={plans.cam_plan.grid}")
     print(f"pt  plan: chunk={plans.pt_plan.chunk} n_chunks={plans.pt_plan.n_chunks} "
-          f"tile={plans.pt_plan.tile} max_tiles={plans.pt_plan.max_tiles_per_chunk}")
+          f"tile={plans.pt_plan.tile} grid={plans.pt_plan.grid}")
 
     # --- jacobian eval
     jac = jax.jit(lambda c, p: jacobian_blocks_bal(

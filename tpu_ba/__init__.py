@@ -15,6 +15,22 @@ block-sparse assembly, ``lax.while_loop`` control flow (no host round-trips
 inside the optimizer), and Pallas kernels for the hot block-sparse paths.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+import os as _os
+
+import jax as _jax
+
+# On TPU, f32 matmuls/einsums default to ONE bf16 pass (8-bit mantissa on the
+# MXU) — catastrophic for normal-equation assembly and the one-hot segment-sum
+# kernels (measured: 22% final-cost error on ladybug-1723 in round 1's solver
+# sweep, scripts/solver_compare.json). Bundle adjustment is conditioning-
+# limited, not matmul-FLOP-limited, so full f32 multiply precision is the
+# correct production default.
+# Override with TPU_BA_MATMUL_PRECISION=default|high|highest if ever needed.
+_jax.config.update(
+    "jax_default_matmul_precision",
+    _os.environ.get("TPU_BA_MATMUL_PRECISION", "highest"),
+)
 
 from tpu_ba.core import BAProblem, LMConfig, LMResult, make_problem  # noqa: F401

@@ -33,7 +33,8 @@ def _add_ba(sub):
     p.add_argument("--cg-tol", type=float, default=1e-2)
     p.add_argument("--solver", default="schur_pcg",
                    choices=["dense", "schur_pcg", "schur_pcg_pallas",
-                            "schur_dense", "schur_dense_pallas"],
+                            "schur_dense", "schur_dense_pallas",
+                            "schur_sparse", "schur_sparse_pallas"],
                    help="linear solver for the LM inner step")
     p.add_argument("--robust", choices=["none", "huber", "cauchy", "arctan"],
                    default="none")

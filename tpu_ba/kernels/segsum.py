@@ -9,18 +9,28 @@ kernel recasts the reduction as **dense one-hot matmuls on the MXU**:
 
   * observations arrive sorted by key (the problem layout guarantees it for
     cameras; a precomputed permutation gives the point-sorted order);
-  * the output is processed in chunks of CHUNK segments; for each chunk the
-    grid sweeps only the observation tiles whose keys can intersect it
-    (scalar-prefetched per-chunk tile offsets — sortedness bounds them);
-  * each (chunk, tile) program computes ``values_tile @ onehot`` where
+  * the output is processed in chunks of CHUNK segments; each (chunk, tile)
+    work item computes ``values_tile @ onehot`` where
     ``onehot[t, c] = (keys[t] == chunk·CHUNK + c)`` — keys outside the chunk
     contribute zeros, so chunk-boundary-straddling tiles are handled with no
     special cases — and accumulates into the chunk's VMEM-resident output
-    block.
+    block;
+  * the grid is a **flattened work list** of only the (chunk, tile) pairs
+    whose key ranges actually intersect (scalar-prefetched ``prog_chunk`` /
+    ``prog_tile`` arrays). Round 1 used a rectangular
+    (n_chunks × max_tiles_per_chunk) grid, which re-reads every observation
+    tile up to max_tiles times — a measured ~5× HBM read amplification on
+    the ladybug-49 pair plan. The work list reads each tile once per chunk
+    it overlaps (average overlap ~1.0x).
 
 Layout is (D, O) / (D, N) — the reduction axis on *lanes* — so the output
 block is (D_pad, CHUNK) and fits VMEM for any problem size (Venice included:
 VMEM holds one chunk, not the whole output).
+
+The one-hot matmul runs at ``Precision.HIGHEST``: TPU f32 matmuls default to
+a single bf16 pass (8-bit mantissa), measured in round 1 as a 22% final-cost
+error on ladybug-1723 (scripts/solver_compare.json). The one-hot operand is
+bf16-exact; HIGHEST recovers full f32 products for the values operand.
 
 A jnp fallback (``jax.ops.segment_sum``) is kept forever as the correctness
 oracle and the CPU/interpret CI path (SURVEY.md §7 M4).
@@ -29,7 +39,6 @@ oracle and the CPU/interpret CI path (SURVEY.md §7 M4).
 from __future__ import annotations
 
 import dataclasses
-import math
 from functools import partial
 
 import jax
@@ -41,21 +50,38 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["prog_chunk", "prog_tile", "prog_first"],
+    meta_fields=["n_obs", "n_out", "tile", "chunk", "n_chunks", "grid"],
+)
 @dataclasses.dataclass(frozen=True)
 class SegsumPlan:
-    """Static schedule for one sorted-segment-sum shape (hashable)."""
+    """Static work-list schedule for one sorted-segment-sum shape.
 
-    n_obs: int          # padded observation count (multiple of tile)
-    n_out: int          # number of segments
-    tile: int           # observations per tile
-    chunk: int          # segments per output chunk
+    ``prog_chunk[k]`` / ``prog_tile[k]`` name the output chunk and input
+    observation tile of grid step k (chunks ascending, tiles ascending within
+    a chunk — so each output block is resident in VMEM for one contiguous run
+    of programs); ``prog_first[k]`` is 1 on the first program of each chunk
+    (zero-initialises the output block). Every chunk gets at least one
+    program — chunks with no intersecting keys get a dummy tile whose keys
+    all fall outside the chunk and contribute exact zeros.
+    """
+
+    prog_chunk: jax.Array   # (G,) int32
+    prog_tile: jax.Array    # (G,) int32
+    prog_first: jax.Array   # (G,) int32 (0/1)
+    n_obs: int              # padded observation count (multiple of tile)
+    n_out: int              # number of segments
+    tile: int               # observations per tile
+    chunk: int              # segments per output chunk
     n_chunks: int
-    max_tiles_per_chunk: int
+    grid: int               # G — total work items
 
 
 def build_segsum_plan(keys: np.ndarray, n_out: int, *, tile: int = 2048,
                       chunk: int | None = None) -> SegsumPlan:
-    """Build the static schedule from concrete (host) sorted keys.
+    """Build the static work list from concrete (host) sorted keys.
 
     ``keys`` must be sorted ascending (padding rows should carry the last
     key, keeping sortedness). The plan depends only on the key *distribution*
@@ -71,28 +97,35 @@ def build_segsum_plan(keys: np.ndarray, n_out: int, *, tile: int = 2048,
         # denser segments → fewer obs tiles per chunk; aim for ~2-4 tiles
         avg_per_seg = O / max(n_out, 1)
         chunk = int(min(2048, max(128, _round_up(int(2.0 * tile / max(avg_per_seg, 1e-9)), 128))))
-    n_chunks = math.ceil(n_out / chunk)
+    n_chunks = -(-n_out // chunk)
     n_tiles = O // tile
 
     # per-chunk range of observation tiles actually containing its keys
-    first_obs = np.searchsorted(keys, np.arange(n_chunks) * chunk, side="left")
-    last_obs = np.searchsorted(keys, np.minimum((np.arange(n_chunks) + 1) * chunk,
-                                                n_out) - 1, side="right") - 1
-    first_tile = first_obs // tile
-    last_tile = np.maximum(last_obs, first_obs) // tile
-    max_tiles = int(np.max(last_tile - first_tile + 1)) if n_chunks else 1
-    return SegsumPlan(n_obs=O, n_out=n_out, tile=tile, chunk=chunk,
-                      n_chunks=n_chunks, max_tiles_per_chunk=max_tiles)
-
-
-def _chunk_tile_starts(keys, plan: SegsumPlan):
-    """(n_chunks,) int32: first observation-tile index per output chunk —
-    computed in-graph (keys may be traced)."""
-    chunk_lo = jnp.arange(plan.n_chunks, dtype=keys.dtype) * plan.chunk
-    first_obs = jnp.searchsorted(keys, chunk_lo, side="left")
-    start = jnp.minimum(first_obs // plan.tile,
-                        max(plan.n_obs // plan.tile - plan.max_tiles_per_chunk, 0))
-    return start.astype(jnp.int32)
+    lo = np.arange(n_chunks) * chunk
+    hi = np.minimum(lo + chunk, n_out)
+    first_obs = np.searchsorted(keys, lo, side="left")
+    last_obs = np.searchsorted(keys, hi - 1, side="right") - 1
+    empty = last_obs < first_obs
+    first_tile = np.minimum(first_obs // tile, n_tiles - 1)
+    last_tile = np.where(empty, first_tile,
+                         np.maximum(last_obs, first_obs) // tile)
+    # empty chunks still get one (dummy) program so their output block is
+    # zero-initialised; the dummy tile's keys fall outside the chunk.
+    counts = (last_tile - first_tile + 1).astype(np.int64)
+    G = int(counts.sum())
+    prog_chunk = np.repeat(np.arange(n_chunks, dtype=np.int64), counts)
+    offsets = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    prog_tile = (np.arange(G, dtype=np.int64) - offsets[prog_chunk]
+                 + first_tile[prog_chunk])
+    prog_first = np.zeros(G, np.int64)
+    prog_first[offsets] = 1
+    return SegsumPlan(
+        prog_chunk=jnp.asarray(prog_chunk.astype(np.int32)),
+        prog_tile=jnp.asarray(prog_tile.astype(np.int32)),
+        prog_first=jnp.asarray(prog_first.astype(np.int32)),
+        n_obs=O, n_out=n_out, tile=tile, chunk=chunk,
+        n_chunks=int(n_chunks), grid=G,
+    )
 
 
 try:  # Pallas import is guarded: CPU CI works without TPU lowering
@@ -104,21 +137,24 @@ except Exception:  # pragma: no cover
     _HAVE_PALLAS = False
 
 
-def _segsum_kernel(starts_ref, keys_ref, values_ref, out_ref):
-    c = pl.program_id(0)
-    j = pl.program_id(1)
+def _segsum_kernel(chunk_ref, tile_ref, first_ref, keys_ref, values_ref,
+                   out_ref):
+    k = pl.program_id(0)
 
-    @pl.when(j == 0)
+    @pl.when(first_ref[k] == 1)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
     keys = keys_ref[0, :]                                   # (T,) int32
     chunk = out_ref.shape[1]
-    local = keys - c * chunk                                # position in chunk
+    local = keys - chunk_ref[k] * chunk                     # position in chunk
     cols = jax.lax.broadcasted_iota(jnp.int32, (keys.shape[0], chunk), 1)
     onehot = (local[:, None] == cols).astype(values_ref.dtype)   # (T, CHUNK)
+    # HIGHEST is load-bearing: TPU f32 matmuls default to one bf16 pass —
+    # measured 22% final-cost error on ladybug-1723 in round 1.
     out_ref[:, :] += jnp.dot(values_ref[:, :], onehot,
-                             preferred_element_type=values_ref.dtype)
+                             preferred_element_type=values_ref.dtype,
+                             precision=jax.lax.Precision.HIGHEST)
 
 
 def sorted_segment_sum(values, keys, n_out: int, plan: SegsumPlan | None = None,
@@ -153,20 +189,19 @@ def sorted_segment_sum_t(values_t, keys, n_out: int,
     values = values_t
     if D_pad != D:
         values_t = jnp.zeros((D_pad, O), values.dtype).at[:D, :].set(values)
-    starts = _chunk_tile_starts(keys, plan)
     keys2d = keys.reshape(1, -1).astype(jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(plan.n_chunks, plan.max_tiles_per_chunk),
+        num_scalar_prefetch=3,
+        grid=(plan.grid,),
         in_specs=[
             pl.BlockSpec((1, plan.tile),
-                         lambda c, j, starts: (0, starts[c] + j)),
+                         lambda k, pc, pt, pf: (0, pt[k])),
             pl.BlockSpec((D_pad, plan.tile),
-                         lambda c, j, starts: (0, starts[c] + j)),
+                         lambda k, pc, pt, pf: (0, pt[k])),
         ],
         out_specs=pl.BlockSpec((D_pad, plan.chunk),
-                               lambda c, j, starts: (0, c)),
+                               lambda k, pc, pt, pf: (0, pc[k])),
     )
     out_t = pl.pallas_call(
         _segsum_kernel,
@@ -174,5 +209,5 @@ def sorted_segment_sum_t(values_t, keys, n_out: int,
                                        values.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(starts, keys2d, values_t)
+    )(plan.prog_chunk, plan.prog_tile, plan.prog_first, keys2d, values_t)
     return out_t[:D, :n_out]

@@ -49,10 +49,10 @@ def _round_up(x: int, m: int) -> int:
     jax.tree_util.register_dataclass,
     data_fields=["pair_i", "pair_j", "pair_pt", "pair_key",
                  "pair_seg", "seg_ci", "seg_cj", "diag_pos",
-                 "heavy_obs", "heavy_cam", "heavy_seg", "heavy_pt_ids"],
-    meta_fields=["n_pairs", "n_cameras", "max_degree",
-                 "n_segments", "k_pad", "n_heavy_obs", "n_heavy_pts",
+                 "heavy_obs", "heavy_cam", "heavy_seg", "heavy_pt_ids",
                  "seg_plan", "ci_plan"],
+    meta_fields=["n_pairs", "n_cameras", "max_degree",
+                 "n_segments", "k_pad", "n_heavy_obs", "n_heavy_pts"],
 )
 @dataclasses.dataclass(frozen=True)
 class PairPlan:

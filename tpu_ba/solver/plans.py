@@ -24,8 +24,8 @@ from tpu_ba.kernels.segsum import SegsumPlan, build_segsum_plan
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["perm_pt", "pt_sorted_keys"],
-    meta_fields=["cam_plan", "pt_plan"],
+    data_fields=["perm_pt", "pt_sorted_keys", "cam_plan", "pt_plan"],
+    meta_fields=[],
 )
 @dataclasses.dataclass(frozen=True)
 class AssemblyPlans:
