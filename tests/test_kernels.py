@@ -88,3 +88,121 @@ def test_pallas_solver_path_matches_segment_path():
         ss.sorted_segment_sum_t = orig
     np.testing.assert_allclose(float(res_p.cost), float(res_ref.cost), rtol=1e-8)
     assert int(res_p.iterations) == int(res_ref.iterations)
+
+
+def test_fused_pair_blocks_matches_unfused():
+    """fused_pair_blocks (interpret) == _pair_products_t + segment_sum on a
+    real pair plan built from a synthetic problem."""
+    from tpu_ba.io.synthetic import make_synthetic_problem
+    from tpu_ba.jacobians import jacobian_blocks_bal
+    from tpu_ba.kernels.pairblocks import fused_pair_blocks
+    from tpu_ba.solver.normal import assemble
+    from tpu_ba.solver.pairs import (_pair_products_t, build_pair_plan,
+                                     precompute_pair_data)
+
+    problem, _ = make_synthetic_problem(
+        6, 40, obs_per_point=4, pixel_noise=0.5, seed=11,
+        dtype=np.float32, pad_multiple=16)
+    pairs = build_pair_plan(problem.cam_idx, problem.pt_idx, problem.n_obs,
+                            6, 40, pad_multiple=128, with_kernel_plans=True)
+    r, Jc, Jp = jacobian_blocks_bal(
+        problem.cameras, problem.points, problem.obs_2d,
+        problem.cam_idx, problem.pt_idx, problem.mask)
+    B = assemble(r, Jc, Jp, problem.cam_idx, problem.pt_idx, 6, 40, 0, 1.0,
+                 problem.mask)
+    pd = precompute_pair_data(B, pairs)
+    dc = B.U.shape[-1]
+    for lam in [1e-6, 1e-2, 1e2]:
+        vals = _pair_products_t(pd.packed, jnp.float32(lam), dc, 1e-6, 1e32)
+        import jax
+
+        ref = jax.ops.segment_sum(vals.T, pairs.pair_seg, pairs.k_pad,
+                                  indices_are_sorted=True).T
+        out = fused_pair_blocks(pd.packed, pairs.pair_seg, jnp.float32(lam),
+                                pairs.k_pad, pairs.seg_plan, dc=dc,
+                                diag_floor=1e-6, diag_ceil=1e32,
+                                interpret=True)
+        # atol covers f32 cancellation noise on near-zero block entries
+        # (values span ~1e6; 2/10k entries land ~1e-3 apart)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=1e-2)
+
+
+@pytest.mark.parametrize("robust", [0, 1, 2])
+def test_fused_linearize_assemble_matches_oracle(robust):
+    """fused Pallas linearize+assemble (interpret) == analytic J + assemble,
+    including IRLS weighting, mask handling, and the robust cost."""
+    from tpu_ba.io.synthetic import make_synthetic_problem
+    from tpu_ba.jacobians import jacobian_blocks_bal
+    from tpu_ba.kernels.linearize import fused_linearize_assemble
+    from tpu_ba.solver.normal import assemble
+    from tpu_ba.solver.plans import build_plans, pt_segsum_t
+
+    problem, _ = make_synthetic_problem(
+        6, 40, obs_per_point=4, pixel_noise=0.5, seed=12,
+        dtype=np.float32, pad_multiple=128)
+    C, P = 6, 40
+    plans = build_plans(problem.cam_idx, problem.pt_idx, C, P, tile=128)
+
+    r, Jc, Jp = jacobian_blocks_bal(
+        problem.cameras, problem.points, problem.obs_2d,
+        problem.cam_idx, problem.pt_idx, problem.mask)
+    B = assemble(r, Jc, Jp, problem.cam_idx, problem.pt_idx, C, P,
+                 robust, 2.0, problem.mask)
+
+    U, gc, W, pt_vals = fused_linearize_assemble(
+        problem.cameras, problem.points, problem.obs_2d,
+        problem.cam_idx, problem.pt_idx, problem.mask, plans.cam_plan,
+        robust_kind=robust, robust_scale=2.0, interpret=True)
+    ptp = pt_segsum_t(None, pt_vals[:12], problem.pt_idx, P)
+    cost = 0.5 * float(jnp.sum(pt_vals[12]))
+
+    # rtol/atol cover f32 summation-order noise (entries span ~1e5)
+    np.testing.assert_allclose(np.asarray(U), np.asarray(B.U),
+                               rtol=1e-3, atol=5e-2)
+    np.testing.assert_allclose(np.asarray(gc), np.asarray(B.gc),
+                               rtol=1e-3, atol=5e-2)
+    np.testing.assert_allclose(np.asarray(W), np.asarray(B.W),
+                               rtol=1e-3, atol=5e-2)
+    np.testing.assert_allclose(np.asarray(ptp[:9]), np.asarray(B.V),
+                               rtol=1e-3, atol=5e-2)
+    np.testing.assert_allclose(np.asarray(ptp[9:12]), np.asarray(B.gp),
+                               rtol=1e-3, atol=5e-2)
+    np.testing.assert_allclose(cost, float(B.cost), rtol=1e-5)
+
+
+def test_fused_linearize_small_angle():
+    """θ→0 cameras go through the Taylor branch without NaNs and match the
+    oracle."""
+    from tpu_ba.jacobians import jacobian_blocks_bal
+    from tpu_ba.kernels.linearize import fused_linearize_assemble
+    from tpu_ba.solver.normal import assemble
+    from tpu_ba.solver.plans import build_plans
+
+    rng = np.random.default_rng(3)
+    C, P, O = 2, 8, 128
+    cams = np.zeros((C, 9), np.float32)
+    cams[:, 0:3] = 1e-9                      # tiny rotation
+    cams[:, 5] = -20.0
+    cams[:, 6] = 300.0
+    pts = rng.standard_normal((P, 3)).astype(np.float32)
+    ci = np.sort(rng.integers(0, C, O)).astype(np.int32)
+    pi = rng.integers(0, P, O).astype(np.int32)
+    obs = rng.standard_normal((O, 2)).astype(np.float32)
+    mask = np.ones(O, bool)
+    plans = build_plans(ci, pi, C, P, tile=128)
+
+    r, Jc, Jp = jacobian_blocks_bal(jnp.asarray(cams), jnp.asarray(pts),
+                                    jnp.asarray(obs), jnp.asarray(ci),
+                                    jnp.asarray(pi), jnp.asarray(mask))
+    B = assemble(r, Jc, Jp, jnp.asarray(ci), jnp.asarray(pi), C, P, 0, 1.0,
+                 jnp.asarray(mask))
+    U, gc, W, pt_vals = fused_linearize_assemble(
+        jnp.asarray(cams), jnp.asarray(pts), jnp.asarray(obs),
+        jnp.asarray(ci), jnp.asarray(pi), jnp.asarray(mask), plans.cam_plan,
+        interpret=True)
+    assert np.isfinite(np.asarray(U)).all()
+    np.testing.assert_allclose(np.asarray(W), np.asarray(B.W),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(U), np.asarray(B.U),
+                               rtol=1e-4, atol=1e-3)

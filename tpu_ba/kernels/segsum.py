@@ -137,6 +137,15 @@ except Exception:  # pragma: no cover
     _HAVE_PALLAS = False
 
 
+def resolve_interpret(interpret: bool | None) -> bool:
+    """Pallas TPU kernels only run compiled on TPU; on CPU backends fall back
+    to interpret mode automatically (so the *_pallas solver variants work
+    everywhere — CI runs them on the 8-device CPU mesh)."""
+    if interpret is not None:
+        return interpret
+    return jax.default_backend() != "tpu"
+
+
 def _segsum_kernel(chunk_ref, tile_ref, first_ref, keys_ref, values_ref,
                    out_ref):
     k = pl.program_id(0)
@@ -158,7 +167,7 @@ def _segsum_kernel(chunk_ref, tile_ref, first_ref, keys_ref, values_ref,
 
 
 def sorted_segment_sum(values, keys, n_out: int, plan: SegsumPlan | None = None,
-                       *, use_pallas: bool = True, interpret: bool = False):
+                       *, use_pallas: bool = True, interpret: bool | None = None):
     """Segment-sum of ``values`` (O, D) by sorted ``keys`` (O,) → (n_out, D).
 
     With ``use_pallas`` (and a TPU backend or ``interpret=True``) runs the
@@ -173,7 +182,7 @@ def sorted_segment_sum(values, keys, n_out: int, plan: SegsumPlan | None = None,
 
 def sorted_segment_sum_t(values_t, keys, n_out: int,
                          plan: SegsumPlan | None = None,
-                         *, use_pallas: bool = True, interpret: bool = False):
+                         *, use_pallas: bool = True, interpret: bool | None = None):
     """Lane-major segment sum: ``values_t`` (D, O) → (D, n_out).
 
     Same kernel as sorted_segment_sum but without the entry/exit transposes —
@@ -208,6 +217,6 @@ def sorted_segment_sum_t(values_t, keys, n_out: int,
         out_shape=jax.ShapeDtypeStruct((D_pad, plan.n_chunks * plan.chunk),
                                        values.dtype),
         grid_spec=grid_spec,
-        interpret=interpret,
+        interpret=resolve_interpret(interpret),
     )(plan.prog_chunk, plan.prog_tile, plan.prog_first, keys2d, values_t)
     return out_t[:D, :n_out]

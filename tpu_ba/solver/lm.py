@@ -63,6 +63,10 @@ def lm_loop(cams0, pts0, obs, ci, pi, mask, n_cameras: int, n_points: int,
     when ``axis_name`` is set. Returns a fully replicated LMResult."""
     dtype = cams0.dtype
     kind, scale = config.robust_kind, config.robust_scale
+    # fused Pallas linearize+assemble: single-device, BAL model, plans built
+    use_fused = (plans is not None and axis_name is None
+                 and cams0.shape[-1] == 9
+                 and config.linear_solver.endswith("_pallas"))
 
     def cost_fn(cams, pts):
         r = residuals_bal(cams, pts, obs, ci, pi, mask)
@@ -132,9 +136,25 @@ def lm_loop(cams0, pts0, obs, ci, pi, mask, n_cameras: int, n_points: int,
         cams, pts, lam, nu, cost, it, n_acc, _, _, hists = state
         hist, lam_hist, cg_hist = hists
 
-        r, Jc, Jp = jacobian_blocks_bal(cams, pts, obs, ci, pi, mask)
-        B = assemble(r, Jc, Jp, ci, pi, n_cameras, n_points, kind, scale, mask,
-                     axis_name, plans)
+        if use_fused:
+            # one Pallas pass: residual + analytic J + IRLS + W + U/gc
+            # reduction (SURVEY.md §2.2 N7 fused eval; measured 111 ms → ~6 ms
+            # per linearization at ladybug-1723, scripts/pair_profile.py)
+            from tpu_ba.kernels.linearize import fused_linearize_assemble
+            from tpu_ba.solver.normal import BlockSystem
+            from tpu_ba.solver.plans import pt_segsum_t
+
+            U, gc, W, pt_vals = fused_linearize_assemble(
+                cams, pts, obs, ci, pi, mask, plans.cam_plan,
+                robust_kind=kind, robust_scale=scale)
+            ptp = pt_segsum_t(plans, pt_vals[:12], pi, n_points)
+            B = BlockSystem(U=U, V=ptp[:9], W=W, gc=gc, gp=ptp[9:12],
+                            cost=0.5 * jnp.sum(pt_vals[12]),
+                            cam_idx=ci, pt_idx=pi)
+        else:
+            r, Jc, Jp = jacobian_blocks_bal(cams, pts, obs, ci, pi, mask)
+            B = assemble(r, Jc, Jp, ci, pi, n_cameras, n_points, kind, scale,
+                         mask, axis_name, plans)
         # λ-free pair-space gathers, amortized over the λ-retry loop
         if pairs is not None:
             from tpu_ba.solver import pairs as pairs_mod

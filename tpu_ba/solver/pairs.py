@@ -433,13 +433,18 @@ def _compact_blocks(B: BlockSystem, lam, pairs: PairPlan, pair_data,
     what makes it Pallas-one-hot friendly (dense chunks) and the reason this
     path beats the dense-T4 build ~20× at BAL scale."""
     dc = B.U.shape[-1]
-    vals_t = _pair_products_t(pair_data.packed, lam, dc, diag_floor, diag_ceil)
     if pairs.seg_plan is not None:
-        from tpu_ba.kernels.segsum import sorted_segment_sum_t
+        # fused Pallas path: pair products never touch HBM (measured 65 ms →
+        # see scripts/pair_profile.py; the unfused round-1 path wrote + read
+        # ~1 GB of (dc², Np) products per λ-retry at ladybug-1723 scale)
+        from tpu_ba.kernels.pairblocks import fused_pair_blocks
 
-        blk = sorted_segment_sum_t(vals_t, pairs.pair_seg, pairs.k_pad,
-                                   plan=pairs.seg_plan)
+        blk = fused_pair_blocks(
+            pair_data.packed, pairs.pair_seg, lam, pairs.k_pad,
+            pairs.seg_plan, dc=dc, diag_floor=diag_floor, diag_ceil=diag_ceil)
     else:
+        vals_t = _pair_products_t(pair_data.packed, lam, dc,
+                                  diag_floor, diag_ceil)
         blk = jax.ops.segment_sum(vals_t.T, pairs.pair_seg, pairs.k_pad,
                                   indices_are_sorted=True).T
     # only the trash column k_pad−1 receives padding pairs (segment_sum
