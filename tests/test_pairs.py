@@ -258,3 +258,52 @@ def test_all_heavy_tracks_hybrid():
         diag_floor=1e-6, diag_ceil=1e32)
     np.testing.assert_allclose(dxc, dxc_d, rtol=1e-6, atol=1e-9)
     np.testing.assert_allclose(dxp, dxp_d, rtol=1e-6, atol=1e-9)
+
+
+def test_schur_sparse_symmetric_matches_oracles():
+    """Symmetric (ci ≤ cj) pair storage + transposed matvec pass equals the
+    full enumeration and the dense oracle, jnp and interpret-Pallas paths."""
+    problem, B = _system(seed=13)
+    pairs_full = _plan(problem)
+    pairs_sym = build_pair_plan(
+        problem.cam_idx, problem.pt_idx, problem.n_obs,
+        problem.cameras.shape[0], problem.points.shape[0], pad_multiple=16,
+        symmetric=True)
+    assert pairs_sym.n_pairs < pairs_full.n_pairs
+    pairs_sym_k = build_pair_plan(
+        problem.cam_idx, problem.pt_idx, problem.n_obs,
+        problem.cameras.shape[0], problem.points.shape[0], pad_multiple=128,
+        symmetric=True, with_kernel_plans=True)
+    for lam in [1e-6, 1e-3, 1e0]:
+        dxc_d, dxp_d = solve_dense(B, lam)
+        dxc, dxp, _, _ = solve_schur_sparse(
+            B, lam, pairs_sym, cg_max_iters=500, cg_tol=1e-14,
+            diag_floor=1e-6, diag_ceil=1e32)
+        np.testing.assert_allclose(dxc, dxc_d, rtol=1e-6, atol=1e-9)
+        np.testing.assert_allclose(dxp, dxp_d, rtol=1e-6, atol=1e-9)
+        dxc_k, dxp_k, _, _ = solve_schur_sparse(
+            B, lam, pairs_sym_k, cg_max_iters=500, cg_tol=1e-14,
+            diag_floor=1e-6, diag_ceil=1e32)
+        np.testing.assert_allclose(dxc_k, dxc_d, rtol=1e-6, atol=1e-9)
+
+
+def test_schur_sparse_symmetric_heavy_hybrid():
+    """Symmetric storage composes with the heavy-track side channel."""
+    problem, _ = make_synthetic_problem(
+        30, 12, obs_per_point=25, pixel_noise=0.5, seed=4,
+        dtype=np.float64, pad_multiple=8)
+    pairs = build_pair_plan(problem.cam_idx, problem.pt_idx, problem.n_obs,
+                            30, 12, max_degree=8, pad_multiple=16,
+                            symmetric=True)
+    assert pairs.n_heavy_pts > 0
+    r, Jc, Jp = jacobian_blocks_bal(
+        problem.cameras, problem.points, problem.obs_2d,
+        problem.cam_idx, problem.pt_idx, problem.mask)
+    B = assemble(r, Jc, Jp, problem.cam_idx, problem.pt_idx, 30, 12, 0, 1.0,
+                 problem.mask)
+    dxc_d, dxp_d = solve_dense(B, 1e-3)
+    dxc, dxp, _, _ = solve_schur_sparse(
+        B, 1e-3, pairs, cg_max_iters=800, cg_tol=1e-14,
+        diag_floor=1e-6, diag_ceil=1e32)
+    np.testing.assert_allclose(dxc, dxc_d, rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(dxp, dxp_d, rtol=1e-6, atol=1e-9)

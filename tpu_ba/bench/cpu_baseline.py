@@ -148,7 +148,12 @@ def _schur_solve_np(Jc, Jp, r, ci, pi, n_cams, n_pts, lam):
         - WVinv @ W_sp.T
     b = -gc.reshape(-1) + WVinv @ gp.reshape(-1)
 
-    dc = sla.cho_solve(sla.cho_factor(S.toarray()), b)
+    # np.linalg over scipy cho_factor: scipy's LAPACK potrf wrapper segfaults
+    # on this VM at ladybug-1723 dims (15507²); numpy's is fine and the
+    # cost is identical (one dense Cholesky — the "backslash"-class solve)
+    Sd = S.toarray()
+    L = np.linalg.cholesky(Sd)
+    dc = np.linalg.solve(L.T, np.linalg.solve(L, b))
     dp_flat = Vinv_bd @ (-gp.reshape(-1) - W_sp.T @ dc)
     return dc.reshape(n_cams, 9), dp_flat.reshape(n_pts, 3)
 

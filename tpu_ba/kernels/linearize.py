@@ -55,7 +55,8 @@ CAM_ROWS = 90      # UtU (81, row 9m+n) | gc (9)
 _CAM_PAD = 96
 
 
-def _make_kernel(robust_kind: int, robust_scale: float):
+def _make_kernel(robust_kind: int, robust_scale: float,
+                 freeze_cols: tuple = ()):
     def kernel(chunk_ref, tile_ref, first_ref, keys_ref, in_ref,
                cam_out_ref, obs_out_ref):
         k = pl.program_id(0)
@@ -144,6 +145,8 @@ def _make_kernel(robust_kind: int, robust_scale: float):
             Jc[a][6] = d * pvec[a] * sw
             Jc[a][7] = f * s * pvec[a] * sw
             Jc[a][8] = f * s * s * pvec[a] * sw
+            for col in freeze_cols:     # frozen columns: exact zero J ⇒ δ=0
+                Jc[a][col] = jnp.zeros_like(sw)
         r0 = r0 * sw
         r1 = r1 * sw
 
@@ -189,6 +192,7 @@ def _make_kernel(robust_kind: int, robust_scale: float):
 def fused_linearize_assemble(cameras, points, obs_2d, cam_idx, pt_idx, mask,
                              plan: SegsumPlan, *, robust_kind: int = 0,
                              robust_scale: float = 1.0,
+                             freeze_cols: tuple = (),
                              interpret: bool | None = None):
     """One fused pass: (cameras, points) → (U, gc, W, obs_payload).
 
@@ -226,7 +230,7 @@ def fused_linearize_assemble(cameras, points, obs_2d, cam_idx, pt_idx, mask,
         ],
     )
     cam_out, obs_out = pl.pallas_call(
-        _make_kernel(robust_kind, robust_scale),
+        _make_kernel(robust_kind, robust_scale, tuple(freeze_cols)),
         out_shape=[
             jax.ShapeDtypeStruct((_CAM_PAD, plan.n_chunks * plan.chunk), dt),
             jax.ShapeDtypeStruct((_OBS_ROWS, O), dt),

@@ -146,13 +146,19 @@ def lm_loop(cams0, pts0, obs, ci, pi, mask, n_cameras: int, n_points: int,
 
             U, gc, W, pt_vals = fused_linearize_assemble(
                 cams, pts, obs, ci, pi, mask, plans.cam_plan,
-                robust_kind=kind, robust_scale=scale)
+                robust_kind=kind, robust_scale=scale,
+                freeze_cols=config.freeze_camera_cols)
             ptp = pt_segsum_t(plans, pt_vals[:12], pi, n_points)
             B = BlockSystem(U=U, V=ptp[:9], W=W, gc=gc, gp=ptp[9:12],
                             cost=0.5 * jnp.sum(pt_vals[12]),
                             cam_idx=ci, pt_idx=pi)
         else:
             r, Jc, Jp = jacobian_blocks_bal(cams, pts, obs, ci, pi, mask)
+            if config.freeze_camera_cols:
+                colmask = jnp.asarray(
+                    [0.0 if m in config.freeze_camera_cols else 1.0
+                     for m in range(cams.shape[-1])], dtype)
+                Jc = Jc * colmask[None, :, None]
             B = assemble(r, Jc, Jp, ci, pi, n_cameras, n_points, kind, scale,
                          mask, axis_name, plans)
         # λ-free pair-space gathers, amortized over the λ-retry loop
@@ -268,6 +274,33 @@ def _solve_jit(problem: BAProblem, config: LMConfig, plans=None,
     )
 
 
+# host-side plan memo: repeated solves of the same problem (bench loops,
+# windowed SfM buckets) skip the pair enumeration / work-list construction,
+# which costs seconds to minutes of numpy at BAL scale
+_PLAN_MEMO: dict = {}
+_PLAN_MEMO_MAX = 8
+
+
+def _plan_key(problem: BAProblem, tag: str) -> tuple:
+    import hashlib
+
+    import numpy as np
+
+    h = hashlib.blake2b(digest_size=16)
+    h.update(np.asarray(problem.cam_idx).tobytes())
+    h.update(np.asarray(problem.pt_idx).tobytes())
+    return (tag, problem.n_obs, problem.cameras.shape[0],
+            problem.points.shape[0], h.hexdigest())
+
+
+def _memoized(key, builder):
+    if key not in _PLAN_MEMO:
+        if len(_PLAN_MEMO) >= _PLAN_MEMO_MAX:
+            _PLAN_MEMO.pop(next(iter(_PLAN_MEMO)))
+        _PLAN_MEMO[key] = builder()
+    return _PLAN_MEMO[key]
+
+
 def solve(problem: BAProblem, config: LMConfig | None = None) -> LMResult:
     """Bundle-adjust ``problem`` with Levenberg–Marquardt. jit-compiled,
     shape-static; repeated calls with same-shaped problems reuse the cache.
@@ -277,7 +310,9 @@ def solve(problem: BAProblem, config: LMConfig | None = None) -> LMResult:
     segment-reduction through the one-hot MXU kernel.
     ``linear_solver="schur_dense"`` builds the static covisibility-pair plan
     (tpu_ba/solver/pairs.py) and solves on the explicit dense reduced camera
-    system; ``"schur_dense_pallas"`` additionally uses Pallas assembly.
+    system; ``"schur_sparse"`` keeps S block-sparse/symmetric-compact, and
+    ``"schur_sparse_pallas"`` (the TPU production path) runs it through the
+    fused Pallas kernels.
     """
     if config is None:
         config = LMConfig()
@@ -289,14 +324,23 @@ def solve(problem: BAProblem, config: LMConfig | None = None) -> LMResult:
                                 "schur_sparse_pallas"):
         from tpu_ba.solver.plans import build_plans
 
-        plans = build_plans(problem.cam_idx, problem.pt_idx,
-                            problem.cameras.shape[0], problem.points.shape[0])
+        plans = _memoized(
+            _plan_key(problem, "assembly"),
+            lambda: build_plans(problem.cam_idx, problem.pt_idx,
+                                problem.cameras.shape[0],
+                                problem.points.shape[0]))
     if config.linear_solver in ("schur_dense", "schur_dense_pallas",
                                 "schur_sparse", "schur_sparse_pallas"):
         from tpu_ba.solver.pairs import build_pair_plan
 
-        pairs = build_pair_plan(
-            problem.cam_idx, problem.pt_idx, problem.n_obs,
-            problem.cameras.shape[0], problem.points.shape[0],
-            with_kernel_plans=config.linear_solver == "schur_sparse_pallas")
+        sparse = config.linear_solver.startswith("schur_sparse")
+        kernels = config.linear_solver == "schur_sparse_pallas"
+        pairs = _memoized(
+            _plan_key(problem, f"pairs-{sparse}-{kernels}"),
+            # S = Sᵀ: the compact path stores only ci ≤ cj blocks (half the
+            # pair data); the dense-T4 path needs the full enumeration
+            lambda: build_pair_plan(
+                problem.cam_idx, problem.pt_idx, problem.n_obs,
+                problem.cameras.shape[0], problem.points.shape[0],
+                with_kernel_plans=kernels, symmetric=sparse))
     return _solve_jit(problem, config, plans, pairs)

@@ -50,9 +50,11 @@ def _round_up(x: int, m: int) -> int:
     data_fields=["pair_i", "pair_j", "pair_pt", "pair_key",
                  "pair_seg", "seg_ci", "seg_cj", "diag_pos",
                  "heavy_obs", "heavy_cam", "heavy_seg", "heavy_pt_ids",
-                 "seg_plan", "ci_plan"],
+                 "seg_plan", "ci_plan",
+                 "seg_perm_cj", "cj_keys", "nondiag", "cj_plan"],
     meta_fields=["n_pairs", "n_cameras", "max_degree",
-                 "n_segments", "k_pad", "n_heavy_obs", "n_heavy_pts"],
+                 "n_segments", "k_pad", "n_heavy_obs", "n_heavy_pts",
+                 "symmetric"],
 )
 @dataclasses.dataclass(frozen=True)
 class PairPlan:
@@ -96,18 +98,33 @@ class PairPlan:
     n_heavy_pts: int     # number of heavy points
     seg_plan: object = None   # SegsumPlan for pairs → segments (or None)
     ci_plan: object = None    # SegsumPlan for segments → cameras (or None)
+    # symmetric storage (S = Sᵀ): only ci ≤ cj blocks are enumerated — half
+    # the pair data and per-λ build work; the matvec adds a transposed pass
+    # reduced by COLUMN camera (segments permuted into cj-sorted order)
+    symmetric: bool = False
+    seg_perm_cj: jax.Array | None = None  # (k_pad,) permutation: cj-sorted
+    cj_keys: jax.Array | None = None      # (k_pad,) seg_cj[perm]; C on padding
+    nondiag: jax.Array | None = None      # (k_pad,) 1.0 off-diag, 0.0 diag
+    cj_plan: object = None                # SegsumPlan for the cj-sorted pass
 
 
 def build_pair_plan(cam_idx, pt_idx, n_obs: int, n_cameras: int, n_points: int,
                     *, max_degree: int = 64,
                     pad_multiple: int = 2048,
-                    with_kernel_plans: bool = False) -> PairPlan:
-    """Host-side plan: enumerate all ordered observation pairs sharing a
-    point, sorted by camera-pair key. Points whose track length exceeds
-    ``max_degree`` (quadratic pair blowup) are split off into the *heavy*
-    set: their observations are recorded verbatim and their S-contribution
-    is applied matrix-free inside the CG matvec instead of being
-    pair-materialized (the hybrid path — VERDICT.md round 1, next #2).
+                    with_kernel_plans: bool = False,
+                    symmetric: bool = False) -> PairPlan:
+    """Host-side plan: enumerate observation pairs sharing a point, sorted by
+    camera-pair key. Points whose track length exceeds ``max_degree``
+    (quadratic pair blowup) are split off into the *heavy* set: their
+    observations are recorded verbatim and their S-contribution is applied
+    matrix-free inside the CG matvec instead of being pair-materialized
+    (the hybrid path — VERDICT.md round 1, next #2).
+
+    ``symmetric`` enumerates only the ci ≤ cj half of each pair (S = Sᵀ) —
+    half the pair data and per-λ build FLOPs; the matvec then applies the
+    transposed blocks in a second cj-keyed reduction pass. At Venice-1778
+    scale this is the difference between the packed pair gather fitting in
+    HBM (4.6 GB) or not (9.1 GB).
 
     ``with_kernel_plans`` additionally builds the static Pallas segment-sum
     schedules for the compact block-sparse path (TPU only — the jnp
@@ -157,9 +174,22 @@ def build_pair_plan(cam_idx, pt_idx, n_obs: int, n_cameras: int, n_points: int,
             continue
         base = starts[pts]                                   # (n_d,)
         obsmat = order[base[:, None] + np.arange(d)[None, :]]  # (n_d, d)
-        ii = np.broadcast_to(obsmat[:, :, None], (pts.size, d, d)).reshape(-1)
-        jj = np.broadcast_to(obsmat[:, None, :], (pts.size, d, d)).reshape(-1)
-        pp = np.broadcast_to(pts[:, None, None], (pts.size, d, d)).reshape(-1)
+        if symmetric:
+            # unordered pairs incl. the diagonal; orient so ci(ii) ≤ ci(jj)
+            # (each (camera, point) is observed at most once, so a ≠ b ⇒
+            #  distinct cameras)
+            iu, ju = np.triu_indices(d)
+            oa = obsmat[:, iu].reshape(-1)
+            ob = obsmat[:, ju].reshape(-1)
+            swap = ci[oa] > ci[ob]
+            ii = np.where(swap, ob, oa)
+            jj = np.where(swap, oa, ob)
+            pp = np.broadcast_to(pts[:, None],
+                                 (pts.size, iu.size)).reshape(-1)
+        else:
+            ii = np.broadcast_to(obsmat[:, :, None], (pts.size, d, d)).reshape(-1)
+            jj = np.broadcast_to(obsmat[:, None, :], (pts.size, d, d)).reshape(-1)
+            pp = np.broadcast_to(pts[:, None, None], (pts.size, d, d)).reshape(-1)
         chunks_i.append(ii)
         chunks_j.append(jj)
         chunks_p.append(pp)
@@ -198,12 +228,26 @@ def build_pair_plan(cam_idx, pt_idx, n_obs: int, n_cameras: int, n_points: int,
         np.zeros(n_cameras, bool)
     diag_pos = np.where(hit, diag_pos, k_pad - 1)
 
-    seg_plan = ci_plan = None
+    seg_plan = ci_plan = cj_plan = None
     if with_kernel_plans:
         from tpu_ba.kernels.segsum import build_segsum_plan
 
         seg_plan = build_segsum_plan(pair_seg, k_pad, tile=pad_multiple)
         ci_plan = build_segsum_plan(seg_ci, n_cameras + 1, tile=pad_multiple)
+
+    seg_perm_cj = cj_keys = nondiag = None
+    if symmetric:
+        # transposed-pass schedule: segments permuted into cj-sorted order
+        # (padding segments → trash camera C, so sortedness holds)
+        cj_eff = np.where(seg_ci == n_cameras, n_cameras, seg_cj)
+        seg_perm_cj = np.argsort(cj_eff, kind="stable").astype(np.int64)
+        cj_keys = cj_eff[seg_perm_cj]
+        nondiag = (seg_ci != seg_cj).astype(np.float32)
+        if with_kernel_plans:
+            from tpu_ba.kernels.segsum import build_segsum_plan
+
+            cj_plan = build_segsum_plan(cj_keys, n_cameras + 1,
+                                        tile=pad_multiple)
 
     return PairPlan(
         pair_i=jnp.asarray(pair_i.astype(np.int32)),
@@ -227,6 +271,13 @@ def build_pair_plan(cam_idx, pt_idx, n_obs: int, n_cameras: int, n_points: int,
         n_heavy_pts=n_heavy_pts,
         seg_plan=seg_plan,
         ci_plan=ci_plan,
+        symmetric=bool(symmetric),
+        seg_perm_cj=(jnp.asarray(seg_perm_cj.astype(np.int32))
+                     if seg_perm_cj is not None else None),
+        cj_keys=(jnp.asarray(cj_keys.astype(np.int32))
+                 if cj_keys is not None else None),
+        nondiag=(jnp.asarray(nondiag) if nondiag is not None else None),
+        cj_plan=cj_plan,
     )
 
 
@@ -343,6 +394,9 @@ def build_schur_t(B: BlockSystem, lam, pairs: PairPlan, pair_data,
       diag_S (C, dc, dc) — exact block diagonal of S = U_λ − T
     The matvec never materializes S: y = Ul·x − einsum("ijcd,dj->ci", T4, x).
     """
+    if pairs.symmetric:
+        raise ValueError("build_schur_t needs a full (non-symmetric) pair "
+                         "plan; build with symmetric=False")
     C = pairs.n_cameras
     dc = B.U.shape[-1]
     Ul, _ = damp_blocks(B, lam, diag_floor, diag_ceil)
@@ -501,6 +555,23 @@ def solve_schur_sparse(B: BlockSystem, lam, pairs: PairPlan, pair_data=None, *,
             t = jax.ops.segment_sum(z.T, pairs.seg_ci, C + 1,
                                     indices_are_sorted=True).T
         y = y - t[:, :C].T
+        if pairs.symmetric:
+            # transposed pass: y_cj −= T_{ci,cj}ᵀ x_ci for off-diag blocks
+            # (padding segments: blk columns are exact zeros)
+            xg2 = x.T[:, jnp.minimum(pairs.seg_ci, C - 1)]     # (dc, k_pad)
+            z2 = jnp.stack([
+                sum(blk[dc * j + i] * xg2[j] for j in range(dc))
+                for i in range(dc)
+            ]) * pairs.nondiag[None, :]
+            if pairs.cj_plan is not None:
+                from tpu_ba.kernels.segsum import sorted_segment_sum_t
+
+                t2 = sorted_segment_sum_t(z2[:, pairs.seg_perm_cj],
+                                          pairs.cj_keys, C + 1,
+                                          plan=pairs.cj_plan)
+            else:
+                t2 = jax.ops.segment_sum(z2.T, pairs.seg_cj, C + 1).T
+            y = y - t2[:, :C].T
         if heavy_term is not None:
             y = y - heavy_term(x)
         return y
