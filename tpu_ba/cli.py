@@ -47,6 +47,9 @@ def _add_ba(sub):
     p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--metrics", default=None, help="JSONL metrics output path")
     p.add_argument("--checkpoint", default=None, help="checkpoint dir to write")
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   help="also dump state every N accepted LM iterations "
+                        "from inside the jitted loop (0 = end only)")
     p.add_argument("--resume", default=None, help="checkpoint dir to resume from")
     p.add_argument("--config", default=None, help="JSON file of LMConfig overrides")
     p.add_argument("--scene", default=None,
@@ -126,18 +129,13 @@ def cmd_ba(args) -> int:
         problem, gt = make_bal_like_problem(args.problem)
         n_obs = gt["n_obs"]
 
-    if args.resume:
-        from tpu_ba.checkpoint import load_checkpoint
-
-        state = load_checkpoint(args.resume)
-        problem = problem.with_params(
-            jnp_asarray(state["cameras"], np.float32),
-            jnp_asarray(state["points"], np.float32))
-
     kwargs = dict(max_iters=args.max_iters, cg_max_iters=args.cg_iters,
                   cg_tol=args.cg_tol, robust_kind=_robust_kind(args.robust),
                   robust_scale=args.robust_scale,
                   linear_solver=args.solver)
+    if args.checkpoint and args.checkpoint_every:
+        kwargs.update(checkpoint_every=args.checkpoint_every,
+                      checkpoint_path=args.checkpoint)
     if args.config:
         kwargs.update(json.load(open(args.config)))  # JSON wins over flags
     cfg = LMConfig(**kwargs)
@@ -154,7 +152,9 @@ def cmd_ba(args) -> int:
     else:
         from tpu_ba.solver.lm import solve
 
-        res = solve(problem, cfg)
+        # --resume restores the FULL trust-region state (params, λ, ν,
+        # iteration) — resumed ≡ uninterrupted (tests/test_cli_and_aux.py)
+        res = solve(problem, cfg, resume_from=args.resume)
     final = float(res.cost)
     wall = time.time() - t0
     log.log_lm_result(res, wall_s=wall, label=args.bal_file or args.problem)

@@ -162,6 +162,15 @@ class LMConfig:
     # exact, damping-safe). E.g. (7, 8) freezes the BAL radial distortion
     # during SfM windowed BA where K is known (VERDICT round 1, weak #6).
     freeze_camera_cols: tuple = ()
+    # in-loop periodic checkpointing (SURVEY.md §5 failure detection /
+    # elastic recovery): every N outer iterations a jax.debug.callback dumps
+    # the full optimizer state (params, λ, ν, iteration, cost) to
+    # checkpoint_path without leaving the jitted while_loop. 0 = off.
+    checkpoint_every: int = 0
+    checkpoint_path: str = ""
+    # NaN guard: report non-finite steps/costs from inside the loop via
+    # debug.callback (the λ-retry already force-rejects them)
+    nan_guard: bool = False
 
 
 @partial(

@@ -195,18 +195,19 @@ def run_incremental_sfm(frames, K, config: SfMConfig | None = None) -> SfMResult
     X = X[depth_ok]
 
     points = list(X)
-    # kp_to_point[f][k] = point id observed by keypoint k of frame f
-    kp_to_point = [dict() for _ in range(F)]
-    obs_f, obs_p, obs_xy = [], [], []
-    point_desc = []  # descriptor at creation: used for 2D-3D map matching
+    # vectorized scene bookkeeping (VERDICT round 1, next #7: the per-corner
+    # Python loops don't survive long sequences): kp2pt[f, k] = point id of
+    # keypoint k in frame f (−1 = none); observations grow in array chunks.
+    kp2pt = np.full((F, cfg.max_corners), -1, np.int64)
+    obs_f, obs_p, obs_xy = [], [], []   # lists of CHUNK arrays
     descs_np = [np.asarray(d) for d in descs]
-    for n, s in enumerate(sel):
-        kp_to_point[0][s] = n
-        kp_to_point[1][idx2[s]] = n
-        obs_f += [0, 1]
-        obs_p += [n, n]
-        obs_xy += [kps[0][s], kps[1][idx2[s]]]
-        point_desc.append(descs_np[1][idx2[s]])
+    n0 = len(sel)
+    kp2pt[0, sel] = np.arange(n0)
+    kp2pt[1, idx2[sel]] = np.arange(n0)
+    obs_f.append(np.repeat(np.arange(2), n0))
+    obs_p.append(np.tile(np.arange(n0), 2))
+    obs_xy.append(np.concatenate([kps[0][sel], kps[1][idx2[sel]]]))
+    point_desc = list(descs_np[1][idx2[sel]])
 
     report = {"init_inliers": int(n_inl), "init_points": len(points), "pnp": []}
 
@@ -217,8 +218,9 @@ def run_incremental_sfm(frames, K, config: SfMConfig | None = None) -> SfMResult
         # against this frame's descriptors (robust to broken frame chains)
         map_cap = cfg.max_corners * 8
         n_map = min(len(point_desc), map_cap)
+        map_lo = len(point_desc) - n_map      # most recent points win
         Dmap = np.zeros((map_cap, descs_np[0].shape[1]), np.float32)
-        Dmap[:n_map] = np.asarray(point_desc[:n_map], np.float32)
+        Dmap[:n_map] = np.asarray(point_desc[map_lo:], np.float32)
         map_score = np.full(map_cap, -1.0, np.float32)
         map_score[:n_map] = 1.0
         m_idx2, m_val = match_descriptors(
@@ -226,12 +228,14 @@ def run_incremental_sfm(frames, K, config: SfMConfig | None = None) -> SfMResult
             jnp.asarray(map_score), jnp.asarray(scores[f]), ratio=0.85)
         m_idx2 = np.asarray(m_idx2)
         m_val = np.asarray(m_val)
-        corr = {pid: int(m_idx2[pid]) for pid in range(n_map) if m_val[pid]}
+        corr = {map_lo + pid: int(m_idx2[pid]) for pid in range(n_map)
+                if m_val[pid]}
         # union with chain correspondences through frame f-1's tracks (these
-        # are adjacent-frame matches, usually the cleanest)
-        for k_prev, pid in kp_to_point[f - 1].items():
-            if val[k_prev]:
-                corr[pid] = int(idx2[k_prev])
+        # are adjacent-frame matches, usually the cleanest) — vectorized
+        prev_pids = kp2pt[f - 1]
+        chain = np.nonzero(val & (prev_pids >= 0))[0]
+        corr.update(zip(prev_pids[chain].tolist(),
+                        idx2[chain].astype(int).tolist()))
         c3d = sorted(corr)
         c2d = [corr[pid] for pid in c3d]
         if len(c3d) < cfg.min_pnp_inliers:
@@ -261,22 +265,23 @@ def run_incremental_sfm(frames, K, config: SfMConfig | None = None) -> SfMResult
 
         # record observations of matched existing points in frame f; refresh
         # the point's descriptor to its freshest appearance
-        for j, (pid, k_new) in enumerate(zip(c3d, c2d)):
-            if inl_p[j]:
-                kp_to_point[f][k_new] = pid
-                obs_f.append(f); obs_p.append(pid); obs_xy.append(kps[f][k_new])
-                point_desc[pid] = descs_np[f][k_new]
+        inliers = np.nonzero(inl_p[: len(c3d)])[0]
+        pid_in = np.asarray(c3d)[inliers]
+        k_in = np.asarray(c2d)[inliers]
+        kp2pt[f, k_in] = pid_in
+        obs_f.append(np.full(len(pid_in), f))
+        obs_p.append(pid_in)
+        obs_xy.append(kps[f][k_in])
+        for pid, k_new in zip(pid_in.tolist(), k_in.tolist()):
+            point_desc[pid] = descs_np[f][k_new]
 
         # triangulate brand-new tracks between the latest registered earlier
         # frame and f (consecutive matches only exist for f-1; require it)
         prev_f = f - 1
         if registered[prev_f]:
-            new_prev, new_cur = [], []
-            for k_prev in range(cfg.max_corners):
-                if val[k_prev] and k_prev not in kp_to_point[prev_f] \
-                        and idx2[k_prev] not in kp_to_point[f]:
-                    new_prev.append(k_prev)
-                    new_cur.append(idx2[k_prev])
+            fresh = val & (kp2pt[prev_f] < 0) & (kp2pt[f, idx2] < 0)
+            new_prev = np.nonzero(fresh)[0].tolist()
+            new_cur = idx2[fresh].astype(int).tolist()
             if new_prev:
                 Ra = np.asarray(aa_to_matrix(jnp.asarray(poses[prev_f, 0:3])))
                 Rb_ = np.asarray(aa_to_matrix(jnp.asarray(poses[f, 0:3])))
@@ -299,15 +304,20 @@ def run_incremental_sfm(frames, K, config: SfMConfig | None = None) -> SfMResult
                 gate = (2.0 / (0.5 * (fx_ + fy_))) ** 2  # ~2px
                 ok = (za > 1e-3) & (zb > 1e-3) & np.isfinite(Xn).all(1) \
                     & (np.linalg.norm(Xn, axis=1) < 1e4) & (ea < gate) & (eb < gate)
-                for i in np.where(ok)[0]:
-                    pid = len(points)
-                    points.append(Xn[i])
-                    kp_to_point[prev_f][new_prev[i]] = pid
-                    kp_to_point[f][new_cur[i]] = pid
-                    obs_f += [prev_f, f]
-                    obs_p += [pid, pid]
-                    obs_xy += [kps[prev_f][new_prev[i]], kps[f][new_cur[i]]]
-                    point_desc.append(descs_np[f][new_cur[i]])
+                oki = np.nonzero(ok)[0]
+                if oki.size:
+                    pids = len(points) + np.arange(oki.size)
+                    points.extend(Xn[oki])
+                    np_prev = np.asarray(new_prev)[oki]
+                    np_cur = np.asarray(new_cur)[oki]
+                    kp2pt[prev_f, np_prev] = pids
+                    kp2pt[f, np_cur] = pids
+                    obs_f.append(np.concatenate([np.full(oki.size, prev_f),
+                                                 np.full(oki.size, f)]))
+                    obs_p.append(np.tile(pids, 2))
+                    obs_xy.append(np.concatenate([kps[prev_f][np_prev],
+                                                  kps[f][np_cur]]))
+                    point_desc.extend(descs_np[f][np_cur])
 
         report["pnp"].append({"frame": f, "registered": True, "inliers": n_in})
 
@@ -315,27 +325,30 @@ def run_incremental_sfm(frames, K, config: SfMConfig | None = None) -> SfMResult
         pts_arr = np.asarray(points)
         window = [w for w in range(max(0, f - cfg.ba_window + 1), f + 1)
                   if registered[w]]
+        flat_f = np.concatenate(obs_f)
+        flat_p = np.concatenate(obs_p)
+        flat_xy = np.concatenate(obs_xy)
         poses, pts_arr, keep = _bundle_adjust(
-            poses, pts_arr, np.asarray(obs_f), np.asarray(obs_p),
-            np.asarray(obs_xy), K, np.asarray(window), cfg.ba_iters, registered)
+            poses, pts_arr, flat_f, flat_p, flat_xy, K, np.asarray(window),
+            cfg.ba_iters, registered)
         points = list(pts_arr)
-        if not keep.all():
-            obs_f = [o for o, k in zip(obs_f, keep) if k]
-            obs_p = [o for o, k in zip(obs_p, keep) if k]
-            obs_xy = [o for o, k in zip(obs_xy, keep) if k]
+        obs_f = [flat_f[keep]]
+        obs_p = [flat_p[keep]]
+        obs_xy = [flat_xy[keep]]
 
     # 5. final global BA (two rounds: prune then re-solve)
     pts_arr = np.asarray(points)
     all_frames = np.where(registered)[0]
+    obs_f = np.concatenate(obs_f)
+    obs_p = np.concatenate(obs_p)
+    obs_xy = np.concatenate(obs_xy)
     for _round in range(2):
         poses, pts_arr, keep = _bundle_adjust(
-            poses, pts_arr, np.asarray(obs_f), np.asarray(obs_p),
-            np.asarray(obs_xy), K, all_frames, cfg.final_ba_iters, registered)
+            poses, pts_arr, obs_f, obs_p, obs_xy, K, all_frames,
+            cfg.final_ba_iters, registered)
         if keep.all():
             break
-        obs_f = [o for o, k in zip(obs_f, keep) if k]
-        obs_p = [o for o, k in zip(obs_p, keep) if k]
-        obs_xy = [o for o, k in zip(obs_xy, keep) if k]
+        obs_f, obs_p, obs_xy = obs_f[keep], obs_p[keep], obs_xy[keep]
 
     # final cost
     from tpu_ba.residuals.reprojection import residuals_bal
