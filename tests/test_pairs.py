@@ -307,3 +307,61 @@ def test_schur_sparse_symmetric_heavy_hybrid():
         diag_floor=1e-6, diag_ceil=1e32)
     np.testing.assert_allclose(dxc, dxc_d, rtol=1e-6, atol=1e-9)
     np.testing.assert_allclose(dxp, dxp_d, rtol=1e-6, atol=1e-9)
+
+
+def _ring_system(n_cams=24, pts_per_cam=12, seed=7):
+    """Trajectory-style problem: each point is tracked by a 3-camera window
+    of a camera ring, giving a genuinely banded covisibility (offsets 0,1,2)
+    plus wraparound leftover pairs — the structure the banded pair layout
+    (build_pair_plan(banded=True)) is designed for."""
+    rng = np.random.default_rng(seed)
+    n_pts = n_cams * pts_per_cam
+    cam_of_pt = np.repeat(np.arange(n_cams), pts_per_cam)
+    ci = np.stack([cam_of_pt, (cam_of_pt + 1) % n_cams,
+                   (cam_of_pt + 2) % n_cams], -1).reshape(-1).astype(np.int32)
+    pi = np.repeat(np.arange(n_pts, dtype=np.int32), 3)
+
+    from tpu_ba.core import make_problem
+    from tpu_ba.io.synthetic import make_synthetic_problem
+
+    base, _ = make_synthetic_problem(n_cams, n_pts, obs_per_point=3,
+                                     pixel_noise=0.5, seed=seed,
+                                     dtype=np.float64, pad_multiple=8)
+    obs = rng.normal(0.0, 50.0, (ci.shape[0], 2))
+    problem = make_problem(np.asarray(base.cameras), np.asarray(base.points),
+                           obs, ci, pi, dtype=np.float64, pad_multiple=8)
+    r, Jc, Jp = jacobian_blocks_bal(
+        problem.cameras, problem.points, problem.obs_2d,
+        problem.cam_idx, problem.pt_idx, problem.mask)
+    B = assemble(r, Jc, Jp, problem.cam_idx, problem.pt_idx,
+                 n_cams, n_pts, 0, 1.0, problem.mask)
+    return problem, B
+
+
+def test_banded_plan_structure_and_equivalence():
+    """On a ring problem the banded plan must put offsets {0,1,2} in the
+    band, route wraparound pairs to leftover segments, and solve identically
+    to the dense oracle and the non-banded symmetric path."""
+    problem, B = _ring_system()
+    C = problem.cameras.shape[0]
+    pairs_b = build_pair_plan(
+        problem.cam_idx, problem.pt_idx, problem.n_obs, C,
+        problem.points.shape[0], pad_multiple=16, symmetric=True, banded=True)
+    pairs_s = build_pair_plan(
+        problem.cam_idx, problem.pt_idx, problem.n_obs, C,
+        problem.points.shape[0], pad_multiple=16, symmetric=True, banded=False)
+    pairs_bk = build_pair_plan(
+        problem.cam_idx, problem.pt_idx, problem.n_obs, C,
+        problem.points.shape[0], pad_multiple=128, symmetric=True,
+        banded=True, with_kernel_plans=True)
+    assert pairs_b.banded
+    assert pairs_b.band_offsets == (0, 1, 2)
+    assert pairs_b.n_segments > pairs_b.k_band  # wraparound leftovers exist
+    for lam in [1e-6, 1e-3, 1e0]:
+        dxc_d, dxp_d = solve_dense(B, lam)
+        for pp in (pairs_b, pairs_s, pairs_bk):
+            dxc, dxp, _, _ = solve_schur_sparse(
+                B, lam, pp, cg_max_iters=800, cg_tol=1e-14,
+                diag_floor=1e-6, diag_ceil=1e32)
+            np.testing.assert_allclose(dxc, dxc_d, rtol=1e-6, atol=1e-9)
+            np.testing.assert_allclose(dxp, dxp_d, rtol=1e-6, atol=1e-9)

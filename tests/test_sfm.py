@@ -105,3 +105,44 @@ def test_incremental_sfm_end_to_end():
     # mean reprojection error under a pixel
     rmse = np.sqrt(2 * res.final_cost / max(res.report["n_obs"], 1))
     assert rmse < 2.0, (rmse, res.report)
+
+
+def test_kitti_format_directory_end_to_end(tmp_path):
+    """KITTI-format directory → io.sequences.read_kitti_sequence → full
+    incremental SfM (VERDICT round 2, next #5: a disk-format sequence had
+    never been driven end-to-end)."""
+    import os
+
+    import numpy as np
+    from PIL import Image
+
+    from tpu_ba.io.sequences import read_kitti_sequence, render_blob_sequence
+    from tpu_ba.sfm.incremental import SfMConfig, run_incremental_sfm
+
+    frames, gt = render_blob_sequence(n_frames=10, n_points=250, seed=6)
+
+    root = tmp_path / "seq00"
+    img_dir = root / "image_0"
+    os.makedirs(img_dir)
+    for i, f in enumerate(np.asarray(frames)):
+        Image.fromarray((np.clip(f, 0, 1) * 255).astype(np.uint8)).save(
+            img_dir / f"{i:06d}.png")
+    np.savetxt(root / "times.txt", 0.1 * np.arange(frames.shape[0]))
+    fx, fy, cx, cy = gt["K"]
+    with open(root / "calib.txt", "w") as fh:
+        fh.write("P0: " + " ".join(str(v) for v in
+                                   [fx, 0, cx, 0, 0, fy, cy, 0, 0, 0, 1, 0])
+                 + "\n")
+
+    rframes, rgt = read_kitti_sequence(str(root))
+    assert rframes.shape == frames.shape
+    np.testing.assert_allclose(rgt["K"], gt["K"], rtol=1e-6)
+    # 8-bit PNG round trip quantizes intensities — stay within 1/255
+    assert np.max(np.abs(rframes - np.asarray(frames))) <= 1.5 / 255
+
+    res = run_incremental_sfm(rframes, rgt["K"], SfMConfig(seed=6))
+    assert res.registered.sum() >= 8
+    from tpu_ba.bench.ate import ate_rmse
+
+    ate = ate_rmse(res.poses, gt["poses"], mask=res.registered)
+    assert ate["ate_rmse"] < 0.5, ate

@@ -57,3 +57,21 @@ def test_sharded_converges():
     res = solve_sharded(shard_problem(problem, mesh), LMConfig(max_iters=20), mesh)
     rmse = np.sqrt(2.0 * float(res.cost) / gt["n_obs"])
     assert rmse < 1.0
+
+
+def test_sharded_schur_sparse_matches_single_device():
+    """The production compact/banded solver sharded over the mesh (pairs
+    partitioned, one blk psum per λ-retry, communication-free CG) equals the
+    single-device solve (VERDICT round 2, next #4)."""
+    problem = _problem(seed=3)
+    cfg = LMConfig(max_iters=10, linear_solver="schur_sparse",
+                   cg_max_iters=300, cg_tol=1e-12)
+    res_1 = solve(problem, cfg)
+    mesh = make_mesh()
+    res_8 = solve_sharded(shard_problem(problem, mesh), cfg, mesh)
+    np.testing.assert_allclose(float(res_8.cost), float(res_1.cost),
+                               rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(res_8.cameras),
+                               np.asarray(res_1.cameras),
+                               rtol=1e-6, atol=1e-8)
+    assert int(res_8.iterations) == int(res_1.iterations)

@@ -202,3 +202,28 @@ def test_freeze_camera_cols_holds_params_exactly():
     np.testing.assert_array_equal(cams1[:, 7:9], cams0[:, 7:9])
     assert float(res.cost) < float(res.initial_cost) * 0.5
     assert np.any(cams1[:, 0:7] != cams0[:, 0:7])
+
+
+def test_pinhole_model_freezes_intrinsics():
+    """model="pinhole" (VERDICT round 2, next #9): solve() accepts fixed-K
+    pinhole problems directly — intrinsic columns stay bit-identical while
+    poses/points optimize, matching an explicit frozen-column BAL solve."""
+    import dataclasses
+
+    from tpu_ba.core import make_problem
+
+    problem, _ = make_synthetic_problem(6, 80, obs_per_point=4,
+                                        pixel_noise=0.5, seed=11,
+                                        dtype=np.float64, pad_multiple=64)
+    pin = dataclasses.replace(problem, model="pinhole")
+    cfg = LMConfig(max_iters=8, linear_solver="schur_sparse",
+                   cg_max_iters=200, cg_tol=1e-12)
+    res = solve(pin, cfg)
+    np.testing.assert_array_equal(np.asarray(res.cameras)[:, 6:9],
+                                  np.asarray(problem.cameras)[:, 6:9])
+    assert float(res.cost) < float(res.initial_cost)
+
+    cfg_frozen = dataclasses.replace(cfg, freeze_camera_cols=(6, 7, 8))
+    res_bal = solve(problem, cfg_frozen)
+    np.testing.assert_allclose(float(res.cost), float(res_bal.cost),
+                               rtol=1e-12)

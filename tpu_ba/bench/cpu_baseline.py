@@ -150,10 +150,15 @@ def _schur_solve_np(Jc, Jp, r, ci, pi, n_cams, n_pts, lam):
 
     # np.linalg over scipy cho_factor: scipy's LAPACK potrf wrapper segfaults
     # on this VM at ladybug-1723 dims (15507²); numpy's is fine and the
-    # cost is identical (one dense Cholesky — the "backslash"-class solve)
+    # cost is identical (one dense Cholesky — the "backslash"-class solve).
+    # The two back-solves use trtrs (O(n²) triangular solves) — ADVICE.md
+    # round 2: np.linalg.solve ran a full LU per factor, inflating the
+    # baseline denominator severalfold.
+    from scipy.linalg import solve_triangular
+
     Sd = S.toarray()
     L = np.linalg.cholesky(Sd)
-    dc = np.linalg.solve(L.T, np.linalg.solve(L, b))
+    dc = solve_triangular(L.T, solve_triangular(L, b, lower=True), lower=False)
     dp_flat = Vinv_bd @ (-gp.reshape(-1) - W_sp.T @ dc)
     return dc.reshape(n_cams, 9), dp_flat.reshape(n_pts, 3)
 

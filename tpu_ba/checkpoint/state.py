@@ -41,7 +41,12 @@ def save_checkpoint(path: str, *, cameras, points, lam=None, iteration=0,
                 tensors[f"extra.{k}"] = v
             else:
                 manifest[f"extra.{k}"] = v
-    save_file(tensors, os.path.join(path, "state.safetensors"))
+    # tmp+rename for BOTH files: a kill mid-dump (the exact failure the
+    # in-loop checkpointing targets) must leave the previous complete
+    # checkpoint intact (ADVICE.md round 2)
+    st_tmp = os.path.join(path, "state.safetensors.tmp")
+    save_file(tensors, st_tmp)
+    os.replace(st_tmp, os.path.join(path, "state.safetensors"))
     tmp = os.path.join(path, "manifest.json.tmp")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh, indent=1)

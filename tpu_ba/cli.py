@@ -148,7 +148,8 @@ def cmd_ba(args) -> int:
 
         init_distributed(args.coordinator, args.num_processes, args.process_id)
         mesh = make_mesh()
-        res = solve_sharded(shard_problem(problem, mesh), cfg, mesh)
+        res = solve_sharded(shard_problem(problem, mesh), cfg, mesh,
+                            resume_from=args.resume)
     else:
         from tpu_ba.solver.lm import solve
 

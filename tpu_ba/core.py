@@ -155,6 +155,14 @@ class LMConfig:
     # (loose 1e-2/50 stalled ~1-2.5% above the f64 oracle at 80 LM iters)
     cg_max_iters: int = 100
     cg_tol: float = 1e-3
+    # warm-start CG from the previous linear solve's solution (across
+    # λ-retries and linearizations). Pure iteration-count saver: the solve
+    # still converges to the same tolerance (VERDICT.md round 2, next #2).
+    cg_warm_start: bool = True
+    # >0 enables an Eisenstat–Walker-style forcing sequence: the CG relative
+    # tolerance per linearization is clip(sqrt(‖g‖∞/‖g₀‖∞), cg_tol,
+    # cg_forcing) — loose solves while far from the optimum, cg_tol near it.
+    cg_forcing: float = 0.0
     # minimum added to diagonal damping for conditioning
     diag_floor: float = 1e-6
     diag_ceil: float = 1e32
@@ -162,15 +170,26 @@ class LMConfig:
     # exact, damping-safe). E.g. (7, 8) freezes the BAL radial distortion
     # during SfM windowed BA where K is known (VERDICT round 1, weak #6).
     freeze_camera_cols: tuple = ()
-    # in-loop periodic checkpointing (SURVEY.md §5 failure detection /
-    # elastic recovery): every N outer iterations a jax.debug.callback dumps
-    # the full optimizer state (params, λ, ν, iteration, cost) to
-    # checkpoint_path without leaving the jitted while_loop. 0 = off.
+    # periodic checkpointing (SURVEY.md §5 failure detection / elastic
+    # recovery): the solve runs as host-driven CHUNKS of N iterations of the
+    # same compiled while_loop (the loop state — params, λ, ν, iteration,
+    # warm-start step, g₀ — round-trips exactly), dumping the full state to
+    # checkpoint_path between chunks. Works on every backend, including the
+    # axon TPU runtime that has no host callbacks (VERDICT.md round 2,
+    # next #7); dumps are ordered and atomic by construction. 0 = off.
     checkpoint_every: int = 0
     checkpoint_path: str = ""
-    # NaN guard: report non-finite steps/costs from inside the loop via
-    # debug.callback (the λ-retry already force-rejects them)
+    # NaN guard: host-side finiteness check of (cost, params) between chunks
+    # (the in-loop λ-retry already force-rejects non-finite steps; this is
+    # the observability/early-abort layer)
     nan_guard: bool = False
+
+    def __post_init__(self):
+        # JSON configs deliver lists (no tuples in JSON); LMConfig must stay
+        # hashable for jit static_argnums (ADVICE.md round 2)
+        if not isinstance(self.freeze_camera_cols, tuple):
+            object.__setattr__(self, "freeze_camera_cols",
+                               tuple(self.freeze_camera_cols))
 
 
 @partial(
@@ -179,6 +198,7 @@ class LMConfig:
         "cameras", "points", "cost", "initial_cost", "lam",
         "iterations", "accepted", "grad_inf_norm", "converged",
         "cost_history", "lam_history", "cg_history",
+        "nu", "warm_dxc", "gnorm0",
     ],
     meta_fields=[],
 )
@@ -186,7 +206,12 @@ class LMConfig:
 class LMResult:
     """Solver output. ``cost_history`` has one slot per outer iteration
     (padded with the final cost) so metrics like time-to-1%-cost can be
-    computed without host round-trips during the solve."""
+    computed without host round-trips during the solve.
+
+    ``nu``/``warm_dxc``/``gnorm0`` are the remaining trust-region loop state
+    beyond (params, λ, iteration): together they make a resumed solve
+    bit-identical to an uninterrupted one (the chunked checkpointing driver
+    in tpu_ba/solver/lm.py threads them between chunks)."""
 
     cameras: jax.Array
     points: jax.Array
@@ -200,3 +225,6 @@ class LMResult:
     cost_history: jax.Array
     lam_history: jax.Array   # λ used at each linear solve
     cg_history: jax.Array    # CG iterations used at each linear solve
+    nu: jax.Array            # Nielsen rejection growth factor
+    warm_dxc: jax.Array      # last camera step (CG warm start)
+    gnorm0: jax.Array        # first linearization's ‖g‖∞ (forcing sequence)

@@ -180,11 +180,12 @@ def _make_kernel(robust_kind: int, robust_scale: float,
         chunk = cam_out_ref.shape[1]
         local = keys - chunk_ref[k] * chunk
         cols = jax.lax.broadcasted_iota(jnp.int32, (keys.shape[0], chunk), 1)
-        onehot = (local[:, None] == cols).astype(dt)
-        # HIGHEST is load-bearing — see tpu_ba/kernels/segsum.py
-        cam_out_ref[:, :] += jnp.dot(vals, onehot,
-                                     preferred_element_type=dt,
-                                     precision=jax.lax.Precision.HIGHEST)
+        onehot = local[:, None] == cols
+        # 3-pass bf16 split ≡ HIGHEST for one-hot operands at half the MXU
+        # passes — see tpu_ba/kernels/segsum.py:split3_onehot_dot
+        from tpu_ba.kernels.segsum import split3_onehot_dot
+
+        cam_out_ref[:, :] += split3_onehot_dot(vals, onehot)
 
     return kernel
 

@@ -88,11 +88,12 @@ def _make_kernel(dc: int, diag_floor: float, diag_ceil: float):
         chunk = out_ref.shape[1]
         local = keys - chunk_ref[k] * chunk
         cols = jax.lax.broadcasted_iota(jnp.int32, (keys.shape[0], chunk), 1)
-        onehot = (local[:, None] == cols).astype(vals.dtype)
-        # HIGHEST is load-bearing — see tpu_ba/kernels/segsum.py
-        out_ref[:, :] += jnp.dot(vals, onehot,
-                                 preferred_element_type=vals.dtype,
-                                 precision=jax.lax.Precision.HIGHEST)
+        onehot = local[:, None] == cols
+        # 3-pass bf16 split ≡ HIGHEST for one-hot operands at half the MXU
+        # passes — see tpu_ba/kernels/segsum.py:split3_onehot_dot
+        from tpu_ba.kernels.segsum import split3_onehot_dot
+
+        out_ref[:, :] += split3_onehot_dot(vals, onehot)
 
     return kernel
 

@@ -146,6 +146,37 @@ def resolve_interpret(interpret: bool | None) -> bool:
     return jax.default_backend() != "tpu"
 
 
+def split3_onehot_dot(vals, onehot_bool):
+    """f32-accurate ``vals @ onehot`` in 3 native bf16 MXU passes.
+
+    TPU f32 matmuls default to ONE bf16 pass (8-bit mantissa — measured 22%
+    final-cost error on ladybug-1723 in round 1) and Precision.HIGHEST costs
+    6 passes (3-term splits of BOTH operands). A one-hot operand is exactly
+    representable in bf16, so only ``vals`` needs the 3-term split
+    v = v₁+v₂+v₃ (~24 mantissa bits): three bf16×bf16→f32 products match
+    HIGHEST accuracy at half the MXU passes — the build kernel is
+    MXU-pass-bound (VERDICT.md round 2, next #1 profiling).
+
+    Non-f32 dtypes (the f64 CPU/interpret oracle path) keep the plain
+    HIGHEST dot — a bf16 split would destroy f64 precision."""
+    if vals.dtype != jnp.float32:
+        return jnp.dot(vals, onehot_bool.astype(vals.dtype),
+                       preferred_element_type=vals.dtype,
+                       precision=jax.lax.Precision.HIGHEST)
+    # precision=DEFAULT is required: the package default is HIGHEST, which
+    # on bf16 operands stamps an fp32 contract precision Mosaic rejects
+    # ("Bad lhs type"); DEFAULT on bf16 inputs is the native single-pass
+    # bf16×bf16→f32 MXU mode, which is exactly what the split wants.
+    dot = partial(jnp.dot, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.DEFAULT)
+    oh = onehot_bool.astype(jnp.bfloat16)
+    v1 = vals.astype(jnp.bfloat16)
+    r1 = vals - v1.astype(jnp.float32)
+    v2 = r1.astype(jnp.bfloat16)
+    v3 = (r1 - v2.astype(jnp.float32)).astype(jnp.bfloat16)
+    return dot(v1, oh) + dot(v2, oh) + dot(v3, oh)
+
+
 def _segsum_kernel(chunk_ref, tile_ref, first_ref, keys_ref, values_ref,
                    out_ref):
     k = pl.program_id(0)
@@ -158,12 +189,8 @@ def _segsum_kernel(chunk_ref, tile_ref, first_ref, keys_ref, values_ref,
     chunk = out_ref.shape[1]
     local = keys - chunk_ref[k] * chunk                     # position in chunk
     cols = jax.lax.broadcasted_iota(jnp.int32, (keys.shape[0], chunk), 1)
-    onehot = (local[:, None] == cols).astype(values_ref.dtype)   # (T, CHUNK)
-    # HIGHEST is load-bearing: TPU f32 matmuls default to one bf16 pass —
-    # measured 22% final-cost error on ladybug-1723 in round 1.
-    out_ref[:, :] += jnp.dot(values_ref[:, :], onehot,
-                             preferred_element_type=values_ref.dtype,
-                             precision=jax.lax.Precision.HIGHEST)
+    onehot = local[:, None] == cols                         # (T, CHUNK)
+    out_ref[:, :] += split3_onehot_dot(values_ref[:, :], onehot)
 
 
 def sorted_segment_sum(values, keys, n_out: int, plan: SegsumPlan | None = None,

@@ -77,36 +77,104 @@ def shard_problem(problem: BAProblem, mesh: Mesh) -> BAProblem:
     )
 
 
+def _pairplan_specs(pairs):
+    """PartitionSpec pytree for a PairPlan: the pair axis is sharded over
+    the mesh (each device reduces its own pair shard — see
+    solve_schur_sparse's sharded contract); segment/heavy maps replicated."""
+    kw = {f.name: None for f in dataclasses.fields(pairs)}
+    for name in ("pair_i", "pair_j", "pair_pt", "pair_key", "pair_seg"):
+        kw[name] = P(AXIS)
+    for name in ("seg_ci", "seg_cj", "diag_pos",
+                 "heavy_obs", "heavy_cam", "heavy_seg", "heavy_pt_ids"):
+        kw[name] = P()
+    # meta fields must carry their real values (they live in the treedef)
+    for name in ("n_pairs", "n_cameras", "max_degree", "n_segments", "k_pad",
+                 "n_heavy_obs", "n_heavy_pts", "symmetric", "banded",
+                 "band_offsets", "c_pad", "k_band"):
+        kw[name] = getattr(pairs, name)
+    return type(pairs)(**kw)
+
+
 @partial(jax.jit, static_argnums=(1, 2))
-def _solve_sharded_jit(problem: BAProblem, config: LMConfig, mesh: Mesh) -> LMResult:
+def _solve_sharded_jit(problem: BAProblem, config: LMConfig, mesh: Mesh,
+                       init_state=None, pairs=None) -> LMResult:
+    def body(cams, pts, obs, ci, pi, mask, init_state, pairs):
+        return lm_loop(cams, pts, obs, ci, pi, mask,
+                       n_cameras=problem.cameras.shape[0],
+                       n_points=problem.points.shape[0],
+                       config=config, axis_name=AXIS,
+                       init_state=init_state, pairs=pairs)
+
+    pair_specs = _pairplan_specs(pairs) if pairs is not None else None
     fn = jax.shard_map(
-        partial(
-            lm_loop,
-            n_cameras=problem.cameras.shape[0],
-            n_points=problem.points.shape[0],
-            config=config,
-            axis_name=AXIS,
-        ),
+        body,
         mesh=mesh,
-        in_specs=(P(), P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+        in_specs=(P(), P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(),
+                  pair_specs),
         out_specs=P(),
         check_vma=False,
     )
     return fn(problem.cameras, problem.points, problem.obs_2d,
-              problem.cam_idx, problem.pt_idx, problem.mask)
+              problem.cam_idx, problem.pt_idx, problem.mask, init_state,
+              pairs)
 
 
 def solve_sharded(problem: BAProblem, config: LMConfig | None = None,
-                  mesh: Mesh | None = None) -> LMResult:
+                  mesh: Mesh | None = None,
+                  resume_from: str | None = None) -> LMResult:
     """Distributed LM bundle adjustment. ``problem`` should have been placed
-    with :func:`shard_problem` (done automatically otherwise)."""
+    with :func:`shard_problem` (done automatically otherwise).
+
+    ``resume_from`` restores the full trust-region state (params, λ, ν,
+    iteration) from a checkpoint, exactly like the single-device
+    ``solve(..., resume_from=...)`` — distributed runs are the main consumer
+    of elastic recovery (ADVICE.md round 2: --resume was silently ignored
+    under --sharded)."""
     if config is None:
         config = LMConfig()
     if config.linear_solver == "dense":
         raise ValueError("dense solver has no sharded path; use schur_pcg")
+    if config.linear_solver.startswith("schur_dense"):
+        raise ValueError("schur_dense has no sharded path; use schur_sparse")
     if mesh is None:
         mesh = make_mesh()
+    pairs = None
+    if config.linear_solver.startswith("schur_sparse"):
+        # the production compact/banded solver, keyframe-partitioned
+        # (BASELINE.json:11): pairs sharded over the mesh, ONE psum of the
+        # compact blocks per λ-retry, communication-free CG
+        from tpu_ba.solver.lm import _memoized, _plan_key
+        from tpu_ba.solver.pairs import build_pair_plan
+
+        n_dev = mesh.devices.size
+        pairs = _memoized(
+            _plan_key(problem, f"pairs-sharded-{n_dev}"),
+            lambda: build_pair_plan(
+                problem.cam_idx, problem.pt_idx, problem.n_obs,
+                problem.cameras.shape[0], problem.points.shape[0],
+                symmetric=True,
+                pad_multiple=max(2048, n_dev)))
+        if pairs.n_pairs % n_dev:
+            raise ValueError(
+                f"pair count {pairs.n_pairs} not divisible by mesh size "
+                f"{n_dev}; use a power-of-two mesh or adjust pad_multiple")
+    init_state = None
+    if resume_from:
+        from tpu_ba.checkpoint.state import load_checkpoint
+
+        ck = load_checkpoint(resume_from)
+        dt = problem.cameras.dtype
+        problem = problem.with_params(
+            jnp.asarray(ck["cameras"], dt), jnp.asarray(ck["points"], dt))
+        ex = ck["extra_tensors"]
+        nu = float(np.asarray(ex.get("nu", 2.0)))
+        ws = jnp.asarray(ex["warm_dxc"], dt) if "warm_dxc" in ex \
+            else jnp.zeros_like(problem.cameras)
+        g0 = float(np.asarray(ex.get("gnorm0", 0.0)))
+        init_state = (jnp.asarray(ck["lam"], dt), jnp.asarray(nu, dt),
+                      jnp.asarray(ck["iteration"], jnp.int32),
+                      ws, jnp.asarray(g0, dt))
     O = problem.obs_2d.shape[0]
     if O % mesh.devices.size != 0:
         problem = shard_problem(problem, mesh)
-    return _solve_sharded_jit(problem, config, mesh)
+    return _solve_sharded_jit(problem, config, mesh, init_state, pairs)

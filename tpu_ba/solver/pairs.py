@@ -54,7 +54,7 @@ def _round_up(x: int, m: int) -> int:
                  "seg_perm_cj", "cj_keys", "nondiag", "cj_plan"],
     meta_fields=["n_pairs", "n_cameras", "max_degree",
                  "n_segments", "k_pad", "n_heavy_obs", "n_heavy_pts",
-                 "symmetric"],
+                 "symmetric", "banded", "band_offsets", "c_pad", "k_band"],
 )
 @dataclasses.dataclass(frozen=True)
 class PairPlan:
@@ -106,13 +106,25 @@ class PairPlan:
     cj_keys: jax.Array | None = None      # (k_pad,) seg_cj[perm]; C on padding
     nondiag: jax.Array | None = None      # (k_pad,) 1.0 off-diag, 0.0 diag
     cj_plan: object = None                # SegsumPlan for the cj-sorted pass
+    # banded layout (symmetric only): the first len(band_offsets)·c_pad
+    # segments are a DENSE (offset, ci) grid — segment o·c_pad + c holds
+    # block T_{c, c+band_offsets[o]} (zero when absent) — so the CG matvec
+    # over them is pure static rolls + FMAs with no gathers at all; the
+    # off-band remainder lives in segments [k_band, k_pad) sorted by (ci,cj)
+    # and runs through the generic compact gather path (it is tiny for
+    # trajectory-style problems: ring wraparounds / loop closures)
+    banded: bool = False
+    band_offsets: tuple = ()   # ascending, band_offsets[0] == 0 when banded
+    c_pad: int = 0             # camera lane padding of the band grid
+    k_band: int = 0            # len(band_offsets) * c_pad
 
 
 def build_pair_plan(cam_idx, pt_idx, n_obs: int, n_cameras: int, n_points: int,
                     *, max_degree: int = 64,
                     pad_multiple: int = 2048,
                     with_kernel_plans: bool = False,
-                    symmetric: bool = False) -> PairPlan:
+                    symmetric: bool = False,
+                    banded: bool = True) -> PairPlan:
     """Host-side plan: enumerate observation pairs sharing a point, sorted by
     camera-pair key. Points whose track length exceeds ``max_degree``
     (quadratic pair blowup) are split off into the *heavy* set: their
@@ -125,6 +137,15 @@ def build_pair_plan(cam_idx, pt_idx, n_obs: int, n_cameras: int, n_points: int,
     transposed blocks in a second cj-keyed reduction pass. At Venice-1778
     scale this is the difference between the packed pair gather fitting in
     HBM (4.6 GB) or not (9.1 GB).
+
+    ``banded`` (symmetric only): lay the compact segments out as a dense
+    (offset, ci) band grid for every camera offset cj−ci that is populated
+    across ≥ C/8 cameras. Trajectory-style problems (the Ladybug/Venice
+    ring stand-ins; any RCM-ordered scene) put ~99.9% of pairs in a few
+    offsets, so the CG matvec over the band needs NO gathers — static rolls
+    and FMAs only, at HBM stream rate instead of the 4–8 GB/s gather rate
+    (VERDICT.md round 2, next #1: the two (dc, k_pad) gathers per matvec ×
+    ~92 CG iterations were the measured bandwidth killer).
 
     ``with_kernel_plans`` additionally builds the static Pallas segment-sum
     schedules for the compact block-sparse path (TPU only — the jnp
@@ -197,46 +218,112 @@ def build_pair_plan(cam_idx, pt_idx, n_obs: int, n_cameras: int, n_points: int,
     pair_i = np.concatenate(chunks_i) if chunks_i else np.zeros(0, np.int64)
     pair_j = np.concatenate(chunks_j) if chunks_j else np.zeros(0, np.int64)
     pair_p = np.concatenate(chunks_p) if chunks_p else np.zeros(0, np.int64)
-
-    key = ci[pair_i] * n_cameras + ci[pair_j]
-    perm = np.argsort(key, kind="stable")
-    pair_i, pair_j, pair_p, key = (
-        pair_i[perm], pair_j[perm], pair_p[perm], key[perm])
-
     np_real = pair_i.shape[0]
-    np_pad = _round_up(max(np_real, 1), pad_multiple)
-    pad = np_pad - np_real
-    fill_obs = max(n_obs - 1, 0)
-    pair_i = np.concatenate([pair_i, np.full(pad, fill_obs, np.int64)])
-    pair_j = np.concatenate([pair_j, np.full(pad, fill_obs, np.int64)])
-    pair_p = np.concatenate([pair_p, np.zeros(pad, np.int64)])
-    key = np.concatenate([key, np.full(pad, n_cameras * n_cameras, np.int64)])
 
-    # compact covisibility segments: rank the K distinct real keys; padding
-    # pairs land in the trash segment k_pad−1 (zeroed after the reduction)
-    uniq, inv = np.unique(key[:np_real], return_inverse=True)
-    K = int(uniq.shape[0])
-    k_pad = _round_up(K + 1, pad_multiple)
-    pair_seg = np.concatenate([inv, np.full(pad, k_pad - 1, np.int64)])
-    seg_ci = np.full(k_pad, n_cameras, np.int64)
-    seg_cj = np.zeros(k_pad, np.int64)
-    seg_ci[:K] = uniq // n_cameras
-    seg_cj[:K] = uniq % n_cameras
-    diag_pos = np.searchsorted(uniq, np.arange(n_cameras) * (n_cameras + 1))
-    diag_pos = np.minimum(diag_pos, max(K - 1, 0))
-    hit = uniq[diag_pos] == np.arange(n_cameras) * (n_cameras + 1) if K else \
-        np.zeros(n_cameras, bool)
-    diag_pos = np.where(hit, diag_pos, k_pad - 1)
+    use_banded = bool(symmetric and banded and np_real)
+    band_list: tuple = ()
+    c_pad = k_band = 0
+    if use_banded:
+        # pick the band: offsets cj−ci whose distinct-ci segment count makes
+        # a dense c_pad-wide slot worthwhile; always include the diagonal
+        cip = ci[pair_i]
+        cjp = ci[pair_j]
+        off = cjp - cip                                   # ≥ 0 (ci ≤ cj)
+        u_oc = np.unique(off * n_cameras + cip)           # distinct (off, ci)
+        u_off, n_ci_per_off = np.unique(u_oc // n_cameras, return_counts=True)
+        thresh = max(n_cameras // 8, 8)
+        band_mask = n_ci_per_off >= thresh
+        band_mask[u_off == 0] = True
+        if band_mask.sum() > 32:                          # cap band width
+            order_cnt = np.argsort(-n_ci_per_off)
+            keep = set(u_off[order_cnt[:32]].tolist()) | {0}
+            band_mask = np.array([o in keep for o in u_off])
+        band_arr = u_off[band_mask]
+        band_list = tuple(int(o) for o in band_arr)
+        c_pad = _round_up(n_cameras, 128)
+        k_band = len(band_list) * c_pad
+
+        off_to_idx = np.full(int(u_off.max()) + 1, -1, np.int64)
+        off_to_idx[band_arr] = np.arange(len(band_list))
+        oi = off_to_idx[off]
+        in_band = oi >= 0
+        seg_real = np.empty(np_real, np.int64)
+        seg_real[in_band] = oi[in_band] * c_pad + cip[in_band]
+        left_key = cip[~in_band] * n_cameras + cjp[~in_band]
+        u_left = np.unique(left_key)
+        K_left = int(u_left.shape[0])
+        seg_real[~in_band] = k_band + np.searchsorted(u_left, left_key)
+        K = k_band + K_left
+        k_pad = _round_up(K + 1, pad_multiple)
+
+        perm = np.argsort(seg_real, kind="stable")
+        pair_i, pair_j, pair_p = pair_i[perm], pair_j[perm], pair_p[perm]
+        seg_real = seg_real[perm]
+        key = ci[pair_i] * n_cameras + ci[pair_j]
+
+        np_pad = _round_up(max(np_real, 1), pad_multiple)
+        pad = np_pad - np_real
+        fill_obs = max(n_obs - 1, 0)
+        pair_i = np.concatenate([pair_i, np.full(pad, fill_obs, np.int64)])
+        pair_j = np.concatenate([pair_j, np.full(pad, fill_obs, np.int64)])
+        pair_p = np.concatenate([pair_p, np.zeros(pad, np.int64)])
+        key = np.concatenate([key, np.full(pad, n_cameras * n_cameras,
+                                           np.int64)])
+        pair_seg = np.concatenate([seg_real, np.full(pad, k_pad - 1,
+                                                     np.int64)])
+
+        # slot → camera-pair maps (band slots: absent ⇒ trash row C)
+        seg_ci = np.full(k_pad, n_cameras, np.int64)
+        seg_cj = np.zeros(k_pad, np.int64)
+        slot_c = np.arange(k_band) % c_pad
+        slot_off = np.asarray(band_list)[np.arange(k_band) // c_pad]
+        slot_ok = (slot_c < n_cameras) & (slot_c + slot_off < n_cameras)
+        seg_ci[:k_band] = np.where(slot_ok, slot_c, n_cameras)
+        seg_cj[:k_band] = np.where(slot_ok, slot_c + slot_off, 0)
+        seg_ci[k_band:K] = u_left // n_cameras
+        seg_cj[k_band:K] = u_left % n_cameras
+        diag_pos = np.arange(n_cameras)                   # slot (0, c) = c
+    else:
+        key = ci[pair_i] * n_cameras + ci[pair_j]
+        perm = np.argsort(key, kind="stable")
+        pair_i, pair_j, pair_p, key = (
+            pair_i[perm], pair_j[perm], pair_p[perm], key[perm])
+
+        np_pad = _round_up(max(np_real, 1), pad_multiple)
+        pad = np_pad - np_real
+        fill_obs = max(n_obs - 1, 0)
+        pair_i = np.concatenate([pair_i, np.full(pad, fill_obs, np.int64)])
+        pair_j = np.concatenate([pair_j, np.full(pad, fill_obs, np.int64)])
+        pair_p = np.concatenate([pair_p, np.zeros(pad, np.int64)])
+        key = np.concatenate([key, np.full(pad, n_cameras * n_cameras, np.int64)])
+
+        # compact covisibility segments: rank the K distinct real keys; padding
+        # pairs land in the trash segment k_pad−1 (zeroed after the reduction)
+        uniq, inv = np.unique(key[:np_real], return_inverse=True)
+        K = int(uniq.shape[0])
+        k_pad = _round_up(K + 1, pad_multiple)
+        pair_seg = np.concatenate([inv, np.full(pad, k_pad - 1, np.int64)])
+        seg_ci = np.full(k_pad, n_cameras, np.int64)
+        seg_cj = np.zeros(k_pad, np.int64)
+        seg_ci[:K] = uniq // n_cameras
+        seg_cj[:K] = uniq % n_cameras
+        diag_pos = np.searchsorted(uniq, np.arange(n_cameras) * (n_cameras + 1))
+        diag_pos = np.minimum(diag_pos, max(K - 1, 0))
+        hit = uniq[diag_pos] == np.arange(n_cameras) * (n_cameras + 1) if K else \
+            np.zeros(n_cameras, bool)
+        diag_pos = np.where(hit, diag_pos, k_pad - 1)
 
     seg_plan = ci_plan = cj_plan = None
     if with_kernel_plans:
         from tpu_ba.kernels.segsum import build_segsum_plan
 
         seg_plan = build_segsum_plan(pair_seg, k_pad, tile=pad_multiple)
-        ci_plan = build_segsum_plan(seg_ci, n_cameras + 1, tile=pad_multiple)
+        if not use_banded:
+            ci_plan = build_segsum_plan(seg_ci, n_cameras + 1,
+                                        tile=pad_multiple)
 
     seg_perm_cj = cj_keys = nondiag = None
-    if symmetric:
+    if symmetric and not use_banded:
         # transposed-pass schedule: segments permuted into cj-sorted order
         # (padding segments → trash camera C, so sortedness holds)
         cj_eff = np.where(seg_ci == n_cameras, n_cameras, seg_cj)
@@ -278,6 +365,10 @@ def build_pair_plan(cam_idx, pt_idx, n_obs: int, n_cameras: int, n_points: int,
                  if cj_keys is not None else None),
         nondiag=(jnp.asarray(nondiag) if nondiag is not None else None),
         cj_plan=cj_plan,
+        banded=use_banded,
+        band_offsets=band_list,
+        c_pad=int(c_pad),
+        k_band=int(k_band),
     )
 
 
@@ -294,18 +385,23 @@ class PairData(NamedTuple):
     heavy_V: jax.Array | None = None
 
 
-def precompute_pair_data(B: BlockSystem, pairs: PairPlan) -> PairData:
+def precompute_pair_data(B: BlockSystem, pairs: PairPlan,
+                         W_override=None) -> PairData:
     """λ-free per-linearization gathers into pair order.
 
     The BlockSystem is already lane-major ((3dc,O) / (9,P)), so these are
     pure lane-axis gathers — no transposes, no tile-padding blowup.
-    """
+
+    ``W_override`` supplies globally-indexed W blocks when B.W is an
+    observation shard (the sharded path all-gathers W once per
+    linearization; pair indices are global observation ids)."""
+    W = B.W if W_override is None else W_override
     packed = jnp.concatenate(
-        [B.W[:, pairs.pair_i], B.W[:, pairs.pair_j], B.V[:, pairs.pair_pt]],
+        [W[:, pairs.pair_i], W[:, pairs.pair_j], B.V[:, pairs.pair_pt]],
         axis=0)
     if pairs.n_heavy_pts == 0:
         return PairData(packed)
-    return PairData(packed, B.W[:, pairs.heavy_obs], B.V[:, pairs.heavy_pt_ids])
+    return PairData(packed, W[:, pairs.heavy_obs], B.V[:, pairs.heavy_pt_ids])
 
 
 def _heavy_operator(pair_data: PairData, lam, pairs: PairPlan, dc: int,
@@ -431,7 +527,7 @@ def build_dense_schur(B: BlockSystem, lam, pairs: PairPlan, pair_data,
 
 
 def solve_schur_dense(B: BlockSystem, lam, pairs: PairPlan, pair_data=None, *,
-                      cg_max_iters: int, cg_tol: float,
+                      cg_max_iters: int, cg_tol, cg_x0=None,
                       diag_floor: float, diag_ceil: float):
     """Full linear solve on the explicit dense reduced camera system.
 
@@ -473,7 +569,7 @@ def solve_schur_dense(B: BlockSystem, lam, pairs: PairPlan, pair_data=None, *,
         return jnp.einsum("cij,cj->ci", Minv, r)
 
     dx_cam, cg_iters, ok = pcg(matvec, b, precond,
-                               max_iters=cg_max_iters, tol=cg_tol)
+                               max_iters=cg_max_iters, tol=cg_tol, x0=cg_x0)
     dx_pt = back_substitute(B, Vinv_pts, dx_cam)
     return dx_cam, dx_pt, cg_iters, ok
 
@@ -507,9 +603,68 @@ def _compact_blocks(B: BlockSystem, lam, pairs: PairPlan, pair_data,
     return blk.at[:, -1].set(0.0)
 
 
+def make_banded_matvec(blk, Ul, pairs: PairPlan, dc: int, heavy_term=None):
+    """S·x for the banded-symmetric layout: NO gathers on the hot band.
+
+    The band region of ``blk`` is a dense (offset, ci) grid (see
+    build_pair_plan), so applying T = Σ W V_λ⁻¹ Wᵀ is static rolls + FMAs —
+    the whole band streams from HBM at full rate once per matvec, replacing
+    the two (dc, k_pad) gathers + permute of the generic compact path
+    (measured 4–8 GB/s on this chip — tpu_ba/solver/pairs.py module doc).
+    Off-band leftover segments (ring wraparound / loop closures; ~0.1% of
+    pairs on trajectory problems) run the generic gather path on a tiny
+    slice. Verified ≡ the non-symmetric compact oracle in tests/test_pairs.py.
+    """
+    C = pairs.n_cameras
+    Bn = len(pairs.band_offsets)
+    Cp = pairs.c_pad
+    Sb = blk[:, :pairs.k_band].reshape(dc, dc, Bn, Cp)
+    have_left = pairs.n_segments > pairs.k_band
+
+    def matvec(x):
+        y = jnp.einsum("cij,cj->ci", Ul, x)
+        x_t = jnp.zeros((dc, Cp), x.dtype).at[:, :C].set(x.T)
+        # forward: y_c −= Σ_off T_{c,c+off} x_{c+off}. roll(−off) aligns
+        # x_{c+off} onto lane c; the wrap-contaminated lanes c ≥ Cp−off all
+        # have zero band blocks (cj = c+off ≥ C has no segments).
+        Xs = jnp.stack([jnp.roll(x_t, -off, axis=1)
+                        for off in pairs.band_offsets])        # (B, dc, Cp)
+        t = jnp.einsum("mnoc,onc->mc", Sb, Xs)
+        # transposed: y_{c+off} −= T_{c,c+off}ᵀ x_c for off > 0.
+        if Bn > 1:
+            u = jnp.einsum("mnoc,mc->onc", Sb[:, :, 1:], x_t)  # (B−1, dc, Cp)
+            for oi, off in enumerate(pairs.band_offsets[1:]):
+                t = t + jnp.roll(u[oi], off, axis=1)
+        y = y - t[:, :C].T
+        if have_left:
+            lblk = blk[:, pairs.k_band:]
+            lci = pairs.seg_ci[pairs.k_band:]
+            lcj = pairs.seg_cj[pairs.k_band:]
+            xgl = x.T[:, lcj]                                  # (dc, L)
+            zl = jnp.stack([
+                sum(lblk[dc * m + n] * xgl[n] for n in range(dc))
+                for m in range(dc)
+            ])
+            tl = jax.ops.segment_sum(zl.T, lci, C + 1,
+                                     indices_are_sorted=True)   # (C+1, dc)
+            xgl2 = x.T[:, jnp.minimum(lci, C - 1)]
+            zl2 = jnp.stack([
+                sum(lblk[dc * m + n] * xgl2[m] for m in range(dc))
+                for n in range(dc)
+            ])
+            tl2 = jax.ops.segment_sum(zl2.T, lcj, C + 1)        # unsorted, tiny
+            y = y - tl[:C] - tl2[:C]
+        if heavy_term is not None:
+            y = y - heavy_term(x)
+        return y
+
+    return matvec
+
+
 def solve_schur_sparse(B: BlockSystem, lam, pairs: PairPlan, pair_data=None, *,
-                       cg_max_iters: int, cg_tol: float,
-                       diag_floor: float, diag_ceil: float, plans=None):
+                       cg_max_iters: int, cg_tol, cg_x0=None,
+                       diag_floor: float, diag_ceil: float, plans=None,
+                       axis_name=None):
     """Linear solve on the *block-sparse* explicit reduced camera system.
 
     Same contract as solve_schur_dense, but S's off-diagonal structure is
@@ -517,7 +672,15 @@ def solve_schur_sparse(B: BlockSystem, lam, pairs: PairPlan, pair_data=None, *,
     tensor: the per-λ build reduces pairs into (dc², K) and the CG matvec is
     gather → per-segment block·vector → segment-sum by row camera. For
     sparse covisibility (Ladybug-class: K ≪ C²) this cuts both the per-λ
-    build and the per-CG-iteration HBM traffic by ~C²/K."""
+    build and the per-CG-iteration HBM traffic by ~C²/K.
+
+    Sharded (``axis_name`` set): pairs arrive as per-device shards (the
+    plan's pair axis is partitioned over the mesh — tpu_ba/sharding/), each
+    device reduces its shard into the full compact segment space, and ONE
+    ``psum`` of the (dc², k_pad) compact blocks per λ-retry replicates S.
+    The CG loop then runs fully replicated with ZERO per-iteration
+    communication — the scaling advantage over the matrix-free schur_pcg
+    path, which psums twice per CG iteration (VERDICT.md round 2, next #4)."""
     from tpu_ba.solver.pcg import pcg
 
     if pair_data is None:
@@ -527,8 +690,11 @@ def solve_schur_sparse(B: BlockSystem, lam, pairs: PairPlan, pair_data=None, *,
 
     Ul, Vl_pts = damp_blocks(B, lam, diag_floor, diag_ceil)
     blk = _compact_blocks(B, lam, pairs, pair_data, diag_floor, diag_ceil)
+    if axis_name is not None:
+        blk = jax.lax.psum(blk, axis_name)
 
-    diag_T = blk[:, pairs.diag_pos]                            # (dc², C)
+    # banded layout: the diagonal IS band slot (offset 0, c) — a plain slice
+    diag_T = blk[:, :C] if pairs.banded else blk[:, pairs.diag_pos]
     diag_S = Ul - diag_T.reshape(dc, dc, C).transpose(2, 0, 1)
     heavy_term = None
     if pairs.n_heavy_pts:
@@ -538,48 +704,52 @@ def solve_schur_sparse(B: BlockSystem, lam, pairs: PairPlan, pair_data=None, *,
     Minv = inv_spd_small(diag_S)
 
     Vinv_pts = inv3x3_rows(Vl_pts)
-    b = schur_rhs(B, Vinv_pts, None, plans)                    # (C, dc)
+    b = schur_rhs(B, Vinv_pts, axis_name, plans)               # (C, dc)
 
-    def matvec(x):
-        y = jnp.einsum("cij,cj->ci", Ul, x)
-        xg = x.T[:, pairs.seg_cj]                              # (dc, k_pad)
-        z = jnp.stack([
-            sum(blk[dc * i + j] * xg[j] for j in range(dc)) for i in range(dc)
-        ])                                                     # (dc, k_pad)
-        if pairs.ci_plan is not None:
-            from tpu_ba.kernels.segsum import sorted_segment_sum_t
-
-            t = sorted_segment_sum_t(z, pairs.seg_ci, C + 1,
-                                     plan=pairs.ci_plan)
-        else:
-            t = jax.ops.segment_sum(z.T, pairs.seg_ci, C + 1,
-                                    indices_are_sorted=True).T
-        y = y - t[:, :C].T
-        if pairs.symmetric:
-            # transposed pass: y_cj −= T_{ci,cj}ᵀ x_ci for off-diag blocks
-            # (padding segments: blk columns are exact zeros)
-            xg2 = x.T[:, jnp.minimum(pairs.seg_ci, C - 1)]     # (dc, k_pad)
-            z2 = jnp.stack([
-                sum(blk[dc * j + i] * xg2[j] for j in range(dc))
+    if pairs.banded:
+        matvec = make_banded_matvec(blk, Ul, pairs, dc, heavy_term)
+    else:
+        def matvec(x):
+            y = jnp.einsum("cij,cj->ci", Ul, x)
+            xg = x.T[:, pairs.seg_cj]                          # (dc, k_pad)
+            z = jnp.stack([
+                sum(blk[dc * i + j] * xg[j] for j in range(dc))
                 for i in range(dc)
-            ]) * pairs.nondiag[None, :]
-            if pairs.cj_plan is not None:
+            ])                                                 # (dc, k_pad)
+            if pairs.ci_plan is not None:
                 from tpu_ba.kernels.segsum import sorted_segment_sum_t
 
-                t2 = sorted_segment_sum_t(z2[:, pairs.seg_perm_cj],
-                                          pairs.cj_keys, C + 1,
-                                          plan=pairs.cj_plan)
+                t = sorted_segment_sum_t(z, pairs.seg_ci, C + 1,
+                                         plan=pairs.ci_plan)
             else:
-                t2 = jax.ops.segment_sum(z2.T, pairs.seg_cj, C + 1).T
-            y = y - t2[:, :C].T
-        if heavy_term is not None:
-            y = y - heavy_term(x)
-        return y
+                t = jax.ops.segment_sum(z.T, pairs.seg_ci, C + 1,
+                                        indices_are_sorted=True).T
+            y = y - t[:, :C].T
+            if pairs.symmetric:
+                # transposed pass: y_cj −= T_{ci,cj}ᵀ x_ci for off-diag blocks
+                # (padding segments: blk columns are exact zeros)
+                xg2 = x.T[:, jnp.minimum(pairs.seg_ci, C - 1)]  # (dc, k_pad)
+                z2 = jnp.stack([
+                    sum(blk[dc * j + i] * xg2[j] for j in range(dc))
+                    for i in range(dc)
+                ]) * pairs.nondiag[None, :]
+                if pairs.cj_plan is not None:
+                    from tpu_ba.kernels.segsum import sorted_segment_sum_t
+
+                    t2 = sorted_segment_sum_t(z2[:, pairs.seg_perm_cj],
+                                              pairs.cj_keys, C + 1,
+                                              plan=pairs.cj_plan)
+                else:
+                    t2 = jax.ops.segment_sum(z2.T, pairs.seg_cj, C + 1).T
+                y = y - t2[:, :C].T
+            if heavy_term is not None:
+                y = y - heavy_term(x)
+            return y
 
     def precond(r):
         return jnp.einsum("cij,cj->ci", Minv, r)
 
     dx_cam, cg_iters, ok = pcg(matvec, b, precond,
-                               max_iters=cg_max_iters, tol=cg_tol)
-    dx_pt = back_substitute(B, Vinv_pts, dx_cam, None, plans)
+                               max_iters=cg_max_iters, tol=cg_tol, x0=cg_x0)
+    dx_pt = back_substitute(B, Vinv_pts, dx_cam, axis_name, plans)
     return dx_cam, dx_pt, cg_iters, ok

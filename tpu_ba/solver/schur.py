@@ -174,9 +174,9 @@ def back_substitute(B: BlockSystem, Vinv, dx_cam, axis_name=None, plans=None):
     return _matmul_rows_33(Vinv, -B.gp - s).T
 
 
-def solve_schur_pcg(B: BlockSystem, lam, *, cg_max_iters: int, cg_tol: float,
-                    diag_floor: float, diag_ceil: float, axis_name=None,
-                    plans=None):
+def solve_schur_pcg(B: BlockSystem, lam, *, cg_max_iters: int, cg_tol,
+                    cg_x0=None, diag_floor: float, diag_ceil: float,
+                    axis_name=None, plans=None):
     """Full Schur+PCG linear solve.
 
     Returns (δ_cameras, δ_points, cg_iters, ok) — ``ok`` is the PCG
@@ -203,6 +203,7 @@ def solve_schur_pcg(B: BlockSystem, lam, *, cg_max_iters: int, cg_tol: float,
     def precond(r):
         return jnp.einsum("cij,cj->ci", Minv, r)
 
-    dx_cam, cg_iters, ok = pcg(matvec, b, precond, max_iters=cg_max_iters, tol=cg_tol)
+    dx_cam, cg_iters, ok = pcg(matvec, b, precond, max_iters=cg_max_iters,
+                               tol=cg_tol, x0=cg_x0)
     dx_pt = back_substitute(B, Vinv, dx_cam, axis_name, plans)
     return dx_cam, dx_pt, cg_iters, ok
