@@ -37,15 +37,51 @@ MEASURED_STREAM_GBPS = 200.0
 SPEC_HBM_GBPS = 819.0
 
 
-def _roofline(problem, pairs, iters, accepted, run_s):
-    """Modeled HBM traffic of the measured run vs the streaming peak.
+def _roofline(problem, pairs, iters, accepted, cg_total, run_s, name):
+    """HBM-traffic roofline of the measured run vs the streaming peak.
 
-    Traffic model (f32, lane-major; counts one read or write per pass):
-      per linearization (≈ accepted steps): fused linearize in/out, the
-      point-side reduce, and the λ-free pair gather (read W/V + write packed);
-      per λ-retry (= iters): fused pair-block build (read packed) + CG
-      matvecs (read compact blocks ~cg times) + cost eval.
+    Preferred source: the MEASURED per-phase table from
+    scripts/phase_profile.py (scripts/phase_profile_<problem>.json), which
+    times each phase of the production solve on the chip and records its
+    bytes — including one CG-matvec read of the compact blocks *per CG
+    iteration* (the round-2 hand model charged 3 reads per LM iteration
+    while CG ran ~76 — VERDICT.md round 2, weak #1). Falls back to the
+    traffic model when no phase profile exists for this problem.
     """
+    prof_path = None
+    cand = f"scripts/phase_profile_{name}.json"
+    if os.path.exists(cand):
+        prof_path = cand
+    if prof_path:
+        with open(prof_path) as fh:
+            prof = json.load(fh)
+        ph = prof["phases"]
+        acc_ratio = accepted / max(iters, 1)
+        cg_per_iter = cg_total / max(iters, 1)
+        per_iter_bytes = (
+            acc_ratio * (ph["linearize"]["bytes"] + ph["pair_gather"]["bytes"])
+            + ph["blk_build"]["bytes"] + ph["rhs_back"]["bytes"]
+            + ph["cost_eval"]["bytes"]
+            + cg_per_iter * ph["cg_iteration"]["bytes"])
+        per_iter_ms = (
+            acc_ratio * (ph["linearize"]["ms"] + ph["pair_gather"]["ms"])
+            + ph["blk_build"]["ms"] + ph["rhs_back"]["ms"]
+            + ph["cost_eval"]["ms"]
+            + cg_per_iter * ph["cg_iteration"]["ms"])
+        total = per_iter_bytes * iters
+        gbps = total / run_s / 1e9
+        return {
+            "source": f"measured phase profile ({prof_path})",
+            "hbm_bytes_per_iter": int(per_iter_bytes),
+            "phase_accounted_ms_per_iter": round(per_iter_ms, 2),
+            "actual_ms_per_iter": round(run_s / max(iters, 1) * 1e3, 2),
+            "achieved_gbps": round(gbps, 1),
+            "measured_stream_peak_gbps": MEASURED_STREAM_GBPS,
+            "fraction_of_measured_peak": round(gbps / MEASURED_STREAM_GBPS, 3),
+            "spec_hbm_gbps": SPEC_HBM_GBPS,
+            "phases": {k: {"ms": v["ms"], "gbps": v["gbps"], "per": v["per"]}
+                       for k, v in ph.items()},
+        }
     O = problem.obs_2d.shape[0]
     Np = pairs.n_pairs
     kp = pairs.k_pad
@@ -53,10 +89,12 @@ def _roofline(problem, pairs, iters, accepted, run_s):
     gather_bytes = (27 * O + 64 * Np) * 4                 # pair gather r+w
     try_bytes = 64 * Np * 4                               # fused pair build
     blk_bytes = 81 * kp * 4
+    cg_per_iter = cg_total / max(iters, 1)
     total = (accepted * (lin_bytes + gather_bytes)
-             + iters * (try_bytes + 3 * blk_bytes + 2 * O * 4 * 4))
+             + iters * (try_bytes + cg_per_iter * blk_bytes + 2 * O * 4 * 4))
     gbps = total / run_s / 1e9
     return {
+        "source": "traffic model (no phase profile found for this problem)",
         "modeled_hbm_bytes_total": int(total),
         "modeled_hbm_bytes_per_iter": int(total / max(iters, 1)),
         "achieved_gbps_vs_model": round(gbps, 1),
@@ -73,6 +111,9 @@ def main():
     ap.add_argument("--max-iters", type=int, default=80)
     ap.add_argument("--cg-iters", type=int, default=100)
     ap.add_argument("--cg-tol", type=float, default=1e-3)
+    ap.add_argument("--cg-forcing", type=float, default=0.0,
+                    help=">0 enables the Eisenstat-Walker forcing sequence "
+                         "(loose CG tol far from the optimum, cg_tol near it)")
     ap.add_argument("--baseline-iters", type=int, default=2)
     ap.add_argument("--baseline-problem", default=None,
                     help="problem for the CPU denominator (default: the bench "
@@ -111,7 +152,7 @@ def main():
 
     cfg = LMConfig(max_iters=args.max_iters, linear_solver=args.solver,
                    cg_max_iters=args.cg_iters, cg_tol=args.cg_tol,
-                   init_lambda=1e-4)
+                   cg_forcing=args.cg_forcing, init_lambda=1e-4)
 
     # first call: host plan build + compile (persistent cache may hit) + run.
     # a value fetch forces real completion: on the axon remote backend
@@ -138,13 +179,39 @@ def main():
     hist = np.asarray(res.cost_history, np.float64)
     rmse = math.sqrt(2.0 * final_cost / n_obs)
 
+    # device memory high-water (VERDICT.md round 2, next #6 — Venice runs
+    # must record it); the axon backend may not implement memory_stats
+    try:
+        ms = jax.local_devices()[0].memory_stats() or {}
+        mem = {k: int(v) for k, v in ms.items()
+               if "bytes" in k or "size" in k}
+    except Exception as e:                                # noqa: BLE001
+        mem = {"unavailable": repr(e)[:120]}
+
     # time-to-1%-of-final-cost (BASELINE.json:2): first iteration whose cost
-    # is within 1% of the final cost, scaled by measured sec/iter; reported
-    # both for a warm process (steady run) and including the first call
+    # is within 1% of the final cost. Per-iteration time is apportioned by
+    # the per-iteration CG count (cg_history) against the measured per-CG-
+    # iteration cost from the phase profile when available — λ-retries and
+    # CG-count variance make iteration time non-uniform (VERDICT.md round 2,
+    # weak #8); uniform split is the fallback.
     target = final_cost * 1.01
     reach = int(np.argmax(hist <= target)) + 1
-    time_to_1pct_run_s = reach * run_s / max(iters, 1)
-    time_to_1pct_total_s = first_call_s - run_s * (1 - reach / max(iters, 1))
+    cg_hist = np.asarray(res.cg_history, np.float64)[:iters]
+    cg_ms = None
+    prof_cand = f"scripts/phase_profile_{args.problem}.json"
+    if os.path.exists(prof_cand):
+        with open(prof_cand) as fh:
+            cg_ms = json.load(fh)["phases"]["cg_iteration"]["ms"]
+    if cg_ms is not None and iters > 0:
+        cg_time = cg_hist.sum() * cg_ms / 1e3
+        base = max(run_s - cg_time, 0.0) / iters
+        t_i = base + cg_hist * cg_ms / 1e3
+        t_i *= run_s / max(t_i.sum(), 1e-12)       # normalize to measured total
+        frac = float(t_i[:reach].sum()) / run_s
+    else:
+        frac = reach / max(iters, 1)
+    time_to_1pct_run_s = frac * run_s
+    time_to_1pct_total_s = first_call_s - run_s * (1 - frac)
 
     # f64 CPU oracle parity (golden committed by scripts/golden_oracle.py)
     parity = None
@@ -169,7 +236,9 @@ def main():
     roofline = None
     for (tag, *_rest), plan in list(_PLAN_MEMO.items()):
         if tag.startswith("pairs"):
-            roofline = _roofline(problem, plan, iters, accepted, run_s)
+            roofline = _roofline(problem, plan, iters, accepted,
+                                 int(np.asarray(res.cg_history).sum()),
+                                 run_s, args.problem)
 
     # CPU baseline, measured directly at the bench problem's scale
     if args.baseline_problem in (None, args.problem):
@@ -207,6 +276,7 @@ def main():
         "time_to_1pct_run_s": time_to_1pct_run_s,
         "time_to_1pct_incl_first_call_s": time_to_1pct_total_s,
         "f64_parity": parity,
+        "device_memory": mem,
         "roofline": roofline,
         "cost_history": hist.tolist(),
         "baseline": {

@@ -206,3 +206,99 @@ def test_fused_linearize_small_angle():
                                rtol=1e-4, atol=1e-3)
     np.testing.assert_allclose(np.asarray(U), np.asarray(B.U),
                                rtol=1e-4, atol=1e-3)
+
+
+def _banded_f32_system(seed=0, n_cams=24, n_pts=160):
+    """f32 system + fully banded symmetric pair plan (≤32 camera offsets)."""
+    from tpu_ba.io.synthetic import make_synthetic_problem
+    from tpu_ba.jacobians import jacobian_blocks_bal
+    from tpu_ba.solver.normal import assemble
+    from tpu_ba.solver.pairs import build_pair_plan
+
+    problem, _ = make_synthetic_problem(
+        n_cams, n_pts, obs_per_point=3, pixel_noise=0.5,
+        seed=seed, dtype=np.float32, pad_multiple=16)
+    r, Jc, Jp = jacobian_blocks_bal(
+        problem.cameras, problem.points, problem.obs_2d,
+        problem.cam_idx, problem.pt_idx, problem.mask)
+    B = assemble(r, Jc, Jp, problem.cam_idx, problem.pt_idx,
+                 n_cams, n_pts, 0, 1.0, problem.mask)
+    pairs = build_pair_plan(
+        problem.cam_idx, problem.pt_idx, problem.n_obs,
+        n_cams, n_pts, pad_multiple=16, symmetric=True, banded=True)
+    return problem, B, pairs
+
+
+def test_pcg_banded_kernel_matches_jnp_pcg():
+    """The VMEM-resident PCG kernel (interpret mode) reproduces the jnp
+    pcg + make_banded_matvec solve: same solution, iteration count, ok."""
+    from tpu_ba.kernels.pcg_band import pcg_banded
+    from tpu_ba.solver.batched_linalg import inv_spd_small
+    from tpu_ba.solver.normal import damp_blocks
+    from tpu_ba.solver.pairs import (_compact_blocks, make_banded_matvec,
+                                     precompute_pair_data)
+    from tpu_ba.solver.pcg import pcg
+    from tpu_ba.solver.schur import inv3x3_rows, schur_rhs
+
+    problem, B, pairs = _banded_f32_system()
+    assert pairs.banded and pairs.n_segments <= pairs.k_band  # fully banded
+    lam = 1e-3
+    pd = precompute_pair_data(B, pairs)
+    blk = _compact_blocks(B, lam, pairs, pd, 1e-6, 1e32)
+    Ul, Vl = damp_blocks(B, lam, 1e-6, 1e32)
+    dc = 9
+    C = pairs.n_cameras
+    diag_T = blk[:, :C]
+    diag_S = Ul - diag_T.reshape(dc, dc, C).transpose(2, 0, 1)
+    Minv = inv_spd_small(diag_S)
+    b = schur_rhs(B, inv3x3_rows(Vl))
+
+    matvec = make_banded_matvec(blk, Ul, pairs, dc)
+    x_ref, it_ref, ok_ref = pcg(
+        matvec, b, lambda r: jnp.einsum("cij,cj->ci", Minv, r),
+        max_iters=200, tol=1e-4)
+    x_k, it_k, ok_k = pcg_banded(blk, Ul, Minv, b, pairs,
+                                 max_iters=200, tol=1e-4, interpret=True)
+    assert bool(ok_k) == bool(ok_ref)
+    # both solves converge (not budget-capped) in a consistent iteration count
+    assert int(it_ref) < 200 and int(it_k) < 200
+    assert abs(int(it_k) - int(it_ref)) <= 2
+    # the kernel's solution satisfies the SAME residual contract, measured
+    # with the jnp matvec (f32 reduction-order differences make elementwise
+    # comparison of CG iterates too brittle — the contract is the residual)
+    rnorm = float(jnp.linalg.norm(b - matvec(x_k)))
+    bnorm = float(jnp.linalg.norm(b))
+    assert rnorm <= 2e-4 * bnorm
+    # solutions agree in L2 (elementwise bounds depend on S's conditioning:
+    # two valid 1e-4-residual solutions may differ a lot in tiny components)
+    dx = float(jnp.linalg.norm(x_k - x_ref)) / float(jnp.linalg.norm(x_ref))
+    assert dx < 0.02
+
+
+def test_pcg_banded_kernel_warm_start_and_early_exit():
+    from tpu_ba.kernels.pcg_band import pcg_banded
+    from tpu_ba.solver.batched_linalg import inv_spd_small
+    from tpu_ba.solver.normal import damp_blocks
+    from tpu_ba.solver.pairs import _compact_blocks, precompute_pair_data
+    from tpu_ba.solver.schur import inv3x3_rows, schur_rhs
+
+    problem, B, pairs = _banded_f32_system(seed=2)
+    lam = 1e-2
+    pd = precompute_pair_data(B, pairs)
+    blk = _compact_blocks(B, lam, pairs, pd, 1e-6, 1e32)
+    Ul, Vl = damp_blocks(B, lam, 1e-6, 1e32)
+    dc = 9
+    C = pairs.n_cameras
+    diag_S = Ul - blk[:, :C].reshape(dc, dc, C).transpose(2, 0, 1)
+    Minv = inv_spd_small(diag_S)
+    b = schur_rhs(B, inv3x3_rows(Vl))
+
+    x1, it1, ok1 = pcg_banded(blk, Ul, Minv, b, pairs,
+                              max_iters=60, tol=1e-4, interpret=True)
+    assert bool(ok1) and int(it1) < 60
+    # warm start from the converged solution: ~no further iterations
+    x2, it2, ok2 = pcg_banded(blk, Ul, Minv, b, pairs,
+                              max_iters=60, tol=1e-4, x0=x1, interpret=True)
+    assert int(it2) <= max(int(it1) // 4, 2)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x1),
+                               rtol=1e-3, atol=1e-6)

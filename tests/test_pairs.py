@@ -339,9 +339,11 @@ def _ring_system(n_cams=24, pts_per_cam=12, seed=7):
 
 
 def test_banded_plan_structure_and_equivalence():
-    """On a ring problem the banded plan must put offsets {0,1,2} in the
-    band, route wraparound pairs to leftover segments, and solve identically
-    to the dense oracle and the non-banded symmetric path."""
+    """On a ring problem the banded plan includes EVERY populated offset
+    (window {0,1,2} plus the wraparound offsets — ≤ 32 total, so the plan is
+    FULLY banded with zero leftover segments, the layout the VMEM-resident
+    PCG kernel requires), and solves identically to the dense oracle and the
+    non-banded symmetric path."""
     problem, B = _ring_system()
     C = problem.cameras.shape[0]
     pairs_b = build_pair_plan(
@@ -355,8 +357,9 @@ def test_banded_plan_structure_and_equivalence():
         problem.points.shape[0], pad_multiple=128, symmetric=True,
         banded=True, with_kernel_plans=True)
     assert pairs_b.banded
-    assert pairs_b.band_offsets == (0, 1, 2)
-    assert pairs_b.n_segments > pairs_b.k_band  # wraparound leftovers exist
+    assert set(pairs_b.band_offsets) >= {0, 1, 2}       # window offsets
+    assert max(pairs_b.band_offsets) > 2                # + wraparound offsets
+    assert pairs_b.n_segments <= pairs_b.k_band         # fully banded
     for lam in [1e-6, 1e-3, 1e0]:
         dxc_d, dxp_d = solve_dense(B, lam)
         for pp in (pairs_b, pairs_s, pairs_bk):
@@ -365,3 +368,49 @@ def test_banded_plan_structure_and_equivalence():
                 diag_floor=1e-6, diag_ceil=1e32)
             np.testing.assert_allclose(dxc, dxc_d, rtol=1e-6, atol=1e-9)
             np.testing.assert_allclose(dxp, dxp_d, rtol=1e-6, atol=1e-9)
+
+
+def test_banded_plan_offband_leftovers_equivalence():
+    """> 32 distinct camera offsets: the 32 heaviest stay in the band and
+    the rest are routed to off-band leftover segments — both paths must
+    still reproduce the dense oracle."""
+    rng = np.random.default_rng(13)
+    n_cams, n_pts = 40, 200
+    # ring window (offsets 0..2) + random long-range pairs over many offsets
+    cam_of_pt = np.repeat(np.arange(n_cams), 5)[:n_pts]
+    win = np.stack([cam_of_pt, (cam_of_pt + 1) % n_cams,
+                    (cam_of_pt + 2) % n_cams], -1)
+    # every point also seen by one far camera (never in its window — a
+    # camera observes a point at most once)
+    far = (cam_of_pt + 3 + rng.integers(0, n_cams - 3, n_pts)) % n_cams
+    rows = np.concatenate([win, far[:, None]], axis=1)
+    ci = rows.reshape(-1).astype(np.int32)
+    pi = np.repeat(np.arange(n_pts, dtype=np.int32), 4)
+
+    from tpu_ba.core import make_problem
+    from tpu_ba.io.synthetic import make_synthetic_problem
+
+    base, _ = make_synthetic_problem(n_cams, n_pts, obs_per_point=3,
+                                     pixel_noise=0.5, seed=13,
+                                     dtype=np.float64, pad_multiple=8)
+    obs = rng.normal(0.0, 50.0, (ci.shape[0], 2))
+    problem = make_problem(np.asarray(base.cameras), np.asarray(base.points),
+                           obs, ci, pi, dtype=np.float64, pad_multiple=8)
+    r, Jc, Jp = jacobian_blocks_bal(
+        problem.cameras, problem.points, problem.obs_2d,
+        problem.cam_idx, problem.pt_idx, problem.mask)
+    B = assemble(r, Jc, Jp, problem.cam_idx, problem.pt_idx,
+                 n_cams, n_pts, 0, 1.0, problem.mask)
+
+    pairs_b = build_pair_plan(
+        problem.cam_idx, problem.pt_idx, problem.n_obs, n_cams, n_pts,
+        pad_multiple=16, symmetric=True, banded=True)
+    assert pairs_b.banded
+    assert len(pairs_b.band_offsets) == 32               # capped
+    assert pairs_b.n_segments > pairs_b.k_band           # leftovers exist
+    dxc_d, dxp_d = solve_dense(B, 1e-3)
+    dxc, dxp, _, _ = solve_schur_sparse(
+        B, 1e-3, pairs_b, cg_max_iters=800, cg_tol=1e-14,
+        diag_floor=1e-6, diag_ceil=1e32)
+    np.testing.assert_allclose(dxc, dxc_d, rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(dxp, dxp_d, rtol=1e-6, atol=1e-9)

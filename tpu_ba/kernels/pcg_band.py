@@ -1,0 +1,205 @@
+"""Pallas TPU kernel: the ENTIRE banded-Schur PCG solve in one kernel.
+
+Round-3 profiling (scripts/phase_profile.py, ladybug-1723 on the chip)
+showed the CG matvec is **op-dispatch-bound, not bandwidth-bound**: the
+banded S·x touches only ~4 MB but takes ~1.9 ms (2.1 GB/s) because each CG
+iteration is dozens of tiny XLA ops on (C, 9)-sized tensors, and the solve
+runs ~76 CG iterations per LM iteration — two thirds of the whole iteration
+time. The fix is structural, not micro: the full PCG working set at BAL
+scale is a few MB (band blocks ~3-13 MB, Ul/M⁻¹ ~1 MB, five (9, c_pad)
+vectors ~0.3 MB), so the *whole preconditioned-CG loop* runs as ONE Pallas
+kernel with every operand VMEM-resident — zero HBM traffic and zero op
+dispatch inside the loop.
+
+Requires a FULLY banded symmetric pair plan (tpu_ba/solver/pairs.py builds
+one whenever the covisibility graph has ≤ 32 distinct camera offsets — true
+for every trajectory-style BAL problem measured: 8-22 offsets). The jnp
+path (tpu_ba/solver/pcg.py + make_banded_matvec) is the correctness oracle
+and the fallback for non-banded plans, heavy-track hybrids, f64, and
+plans whose band exceeds the VMEM budget.
+
+Semantics match tpu_ba/solver/pcg.py exactly: same initialisation, same
+per-iteration updates, same early stop on the relative-residual test, same
+pᵀAp ≤ 0 breakdown contract (freeze the iterate, flag not-ok, let the LM
+λ-retry force-reject).
+
+Capability parity: the "PCG-on-reduced-system kernels at speed-of-light HBM
+bandwidth per chip" mandate (BASELINE.json:5) — with the working set
+VMEM-resident the loop's HBM traffic is literally zero; the remaining HBM
+cost of a λ-retry is the one pass that builds the band blocks
+(tpu_ba/kernels/pairblocks.py, measured at stream rate).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tpu_ba.kernels.segsum import _HAVE_PALLAS, resolve_interpret
+
+if _HAVE_PALLAS:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+
+def band_vmem_bytes(pairs, dc: int) -> int:
+    """VMEM footprint of the kernel's resident operands (band blocks,
+    Ul/M⁻¹, vectors) — used to gate the kernel vs the jnp fallback."""
+    d2 = dc * dc
+    return 4 * (pairs.k_band * d2            # band blocks
+                + 2 * pairs.c_pad * d2       # Ul, Minv
+                + 10 * pairs.c_pad * dc      # vectors + temps
+                + 2 * pairs.c_pad * d2)      # per-offset reshape temps
+
+
+def _make_kernel(dc: int, c_pad: int, n_cameras: int,
+                 band_offsets: tuple, max_iters: int):
+    d2 = dc * dc
+
+    def kernel(tol2_ref, sb_ref, ul_ref, minv_ref, b_ref, x0_ref,
+               x_ref, it_ref, ok_ref):
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (1, c_pad), 1)
+        lmask = (lanes < n_cameras).astype(jnp.float32)    # (1, c_pad)
+
+        ul = ul_ref[:].reshape(dc, dc, c_pad)
+        mi = minv_ref[:].reshape(dc, dc, c_pad)
+
+        def apply_S(x):                                    # x (dc, c_pad)
+            # y = Ul·x − T·x; T applied per static band offset: forward
+            # (row side) plus the transposed pass for off-diagonal offsets.
+            # Wraparound lanes of the rolls are killed by the zero band
+            # blocks at invalid slots (see build_pair_plan) and the final
+            # lane mask (padding lanes must stay exactly zero so the CG
+            # dot products see only real cameras).
+            y = jnp.sum(ul * x[None, :, :], axis=1)
+            t = jnp.zeros((dc, c_pad), jnp.float32)
+            for o, off in enumerate(band_offsets):
+                sbo = sb_ref[:, o * c_pad:(o + 1) * c_pad].reshape(
+                    dc, dc, c_pad)
+                # pltpu.roll needs a non-negative shift: roll(x, −off) ≡
+                # roll(x, c_pad − off) on the circular lane axis
+                xo = pltpu.roll(x, c_pad - off, axis=1) if off else x
+                t = t + jnp.sum(sbo * xo[None, :, :], axis=1)
+                if off:
+                    u = jnp.sum(sbo * x[:, None, :], axis=0)
+                    t = t + pltpu.roll(u, off, axis=1)
+            return (y - t) * lmask
+
+        def precond(r):
+            return jnp.sum(mi * r[None, :, :], axis=1)
+
+        def dot(a, c):
+            return jnp.sum(a * c)
+
+        b = b_ref[:] * lmask
+        x0 = x0_ref[:] * lmask
+        tol2 = tol2_ref[0, 0]
+
+        r0 = b - apply_S(x0)
+        z0 = precond(r0)
+        rz0 = dot(r0, z0)
+        thresh = tol2 * jnp.maximum(dot(b, b), jnp.float32(1e-30))
+
+        def body(_, st):
+            x, r, p, rz, k, ok = st
+            active = jnp.logical_and(dot(r, r) > thresh, ok)
+            Ap = apply_S(p)
+            pAp = dot(p, Ap)
+            broke = pAp <= 0
+            alpha = jnp.where(
+                broke, 0.0,
+                rz / jnp.where(jnp.abs(pAp) < 1e-30, 1e-30, pAp))
+            x1 = x + alpha * p
+            r1 = r - alpha * Ap
+            z1 = precond(r1)
+            rz1 = dot(r1, z1)
+            beta = rz1 / jnp.where(jnp.abs(rz) < 1e-30, 1e-30, rz)
+            p1 = z1 + beta * p
+            ok1 = jnp.logical_and(ok, jnp.logical_not(broke))
+            sel = lambda new, old: jnp.where(active, new, old)  # noqa: E731
+            return (sel(x1, x), sel(r1, r), sel(p1, p),
+                    jnp.where(active, rz1, rz),
+                    k + active.astype(jnp.int32),
+                    jnp.where(active, ok1, ok))
+
+        x, r, p, rz, k, ok = jax.lax.fori_loop(
+            0, max_iters, body,
+            (x0, r0, z0, rz0, jnp.asarray(0, jnp.int32),
+             jnp.asarray(True)))
+        x_ref[:] = x
+        it_ref[0, 0] = k
+        ok_ref[0, 0] = ok.astype(jnp.int32)
+
+    return kernel
+
+
+def _pcg_banded_call(blk, ul_t, minv_t, b_t, x0_t, tol2, *, pairs,
+                     max_iters: int, interpret):
+    # called from inside the (already-jitted) LM loop; the plan's band
+    # layout (offsets, c_pad) is static by construction
+    dc = b_t.shape[0]
+    c_pad = pairs.c_pad
+    kernel = _make_kernel(dc, c_pad, pairs.n_cameras,
+                          pairs.band_offsets, max_iters)
+    sb = blk[:, :pairs.k_band]
+    # Mosaic's scoped-vmem demand measured ~3x the operand footprint (the
+    # unrolled per-offset temps stay live); the chip accepted a 100 MB limit
+    # at ladybug-1723 scale (30 MB scoped) and ran at 37 us/CG-iteration —
+    # cap generously and gate admission on the operand footprint instead
+    # (band_vmem_bytes <= 32 MB in solve_schur_sparse).
+    vmem_cap = 100 * 1024 * 1024
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((dc, c_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_cap),
+        interpret=resolve_interpret(interpret),
+    )(tol2, sb, ul_t, minv_t, b_t, x0_t)
+
+
+def pcg_banded(blk, Ul, Minv, b, pairs, *, max_iters: int, tol, x0=None,
+               interpret: bool | None = None):
+    """VMEM-resident PCG on the fully banded reduced camera system.
+
+    blk (dc², k_pad) compact band blocks; Ul/Minv (C, dc, dc); b (C, dc).
+    Returns (x (C, dc), iterations, ok) — same contract as
+    tpu_ba.solver.pcg.pcg with the block-Jacobi preconditioner.
+    """
+    C, dc = b.shape
+    c_pad = pairs.c_pad
+    f32 = jnp.float32
+
+    def to_lane_blocks(A):                           # (C, dc, dc) → (dc², cp)
+        At = A.transpose(1, 2, 0).reshape(dc * dc, C).astype(f32)
+        return jnp.pad(At, ((0, 0), (0, c_pad - C)))
+
+    def to_lane_vec(v):                              # (C, dc) → (dc, cp)
+        return jnp.pad(v.T.astype(f32), ((0, 0), (0, c_pad - C)))
+
+    ul_t = to_lane_blocks(Ul)
+    minv_t = to_lane_blocks(Minv)
+    b_t = to_lane_vec(b)
+    x0_t = to_lane_vec(x0) if x0 is not None else jnp.zeros((dc, c_pad), f32)
+    tol2 = jnp.full((1, 1), 1.0, f32) * jnp.square(
+        jnp.asarray(tol, f32))
+
+    x_t, it, ok = _pcg_banded_call(
+        blk.astype(f32), ul_t, minv_t, b_t, x0_t, tol2,
+        pairs=pairs, max_iters=int(max_iters), interpret=interpret)
+    return x_t[:, :C].T.astype(b.dtype), it[0, 0], ok[0, 0] != 0

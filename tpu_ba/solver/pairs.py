@@ -224,21 +224,27 @@ def build_pair_plan(cam_idx, pt_idx, n_obs: int, n_cameras: int, n_points: int,
     band_list: tuple = ()
     c_pad = k_band = 0
     if use_banded:
-        # pick the band: offsets cj−ci whose distinct-ci segment count makes
-        # a dense c_pad-wide slot worthwhile; always include the diagonal
+        # band selection: include EVERY populated offset cj−ci when there are
+        # ≤ 32 of them — real covisibility graphs (trajectory window + a few
+        # loop-closure wraparound offsets) collapse to a handful, and a
+        # FULLY banded plan (zero off-band segments) is what lets the whole
+        # PCG loop run as one VMEM-resident Pallas kernel
+        # (tpu_ba/kernels/pcg_band.py — VERDICT.md round 3: the CG matvec is
+        # op-dispatch-bound, not bandwidth-bound). With > 32 offsets, keep
+        # the 32 heaviest by pair count; the rest go through the generic
+        # off-band gather path.
         cip = ci[pair_i]
         cjp = ci[pair_j]
         off = cjp - cip                                   # ≥ 0 (ci ≤ cj)
-        u_oc = np.unique(off * n_cameras + cip)           # distinct (off, ci)
-        u_off, n_ci_per_off = np.unique(u_oc // n_cameras, return_counts=True)
-        thresh = max(n_cameras // 8, 8)
-        band_mask = n_ci_per_off >= thresh
-        band_mask[u_off == 0] = True
-        if band_mask.sum() > 32:                          # cap band width
-            order_cnt = np.argsort(-n_ci_per_off)
+        u_off, n_pairs_per_off = np.unique(off, return_counts=True)
+        band_mask = np.ones(u_off.shape[0], bool)
+        if u_off.shape[0] > 32:                           # cap band width
+            order_cnt = np.argsort(-n_pairs_per_off)
             keep = set(u_off[order_cnt[:32]].tolist()) | {0}
             band_mask = np.array([o in keep for o in u_off])
         band_arr = u_off[band_mask]
+        if 0 not in band_arr:
+            band_arr = np.concatenate([[0], band_arr])
         band_list = tuple(int(o) for o in band_arr)
         c_pad = _round_up(n_cameras, 128)
         k_band = len(band_list) * c_pad
@@ -705,6 +711,25 @@ def solve_schur_sparse(B: BlockSystem, lam, pairs: PairPlan, pair_data=None, *,
 
     Vinv_pts = inv3x3_rows(Vl_pts)
     b = schur_rhs(B, Vinv_pts, axis_name, plans)               # (C, dc)
+
+    # fully banded f32 plan within the VMEM budget ⇒ run the WHOLE PCG loop
+    # as one VMEM-resident Pallas kernel (tpu_ba/kernels/pcg_band.py): the
+    # measured CG bottleneck is per-op dispatch, not bandwidth (round-3
+    # phase profile). Gated to the _pallas solver variant (seg_plan built);
+    # the jnp path below stays the oracle/fallback (f64 goldens, hybrid
+    # heavy tracks, over-budget bands).
+    if (pairs.banded and pairs.seg_plan is not None
+            and pairs.n_segments <= pairs.k_band
+            and pairs.n_heavy_pts == 0
+            and B.U.dtype == jnp.float32):
+        from tpu_ba.kernels.pcg_band import band_vmem_bytes, pcg_banded
+
+        if band_vmem_bytes(pairs, dc) <= 32 * 2**20:
+            dx_cam, cg_iters, ok = pcg_banded(
+                blk, Ul, Minv, b, pairs,
+                max_iters=cg_max_iters, tol=cg_tol, x0=cg_x0)
+            dx_pt = back_substitute(B, Vinv_pts, dx_cam, axis_name, plans)
+            return dx_cam, dx_pt, cg_iters, ok
 
     if pairs.banded:
         matvec = make_banded_matvec(blk, Ul, pairs, dc, heavy_term)
