@@ -149,10 +149,14 @@ def solve_sharded(problem: BAProblem, config: LMConfig | None = None,
         n_dev = mesh.devices.size
         pairs = _memoized(
             _plan_key(problem, f"pairs-sharded-{n_dev}"),
+            # tracks=False: the track-major arrays partition by POINT while
+            # the pair arrays partition by pair — mixing the two shard
+            # axes in one plan pytree is not supported yet; the sharded
+            # solver keeps the uniform pair layout
             lambda: build_pair_plan(
                 problem.cam_idx, problem.pt_idx, problem.n_obs,
                 problem.cameras.shape[0], problem.points.shape[0],
-                symmetric=True,
+                symmetric=True, tracks=False,
                 pad_multiple=max(2048, n_dev)))
         if pairs.n_pairs % n_dev:
             raise ValueError(

@@ -51,7 +51,7 @@ def _round_up(x: int, m: int) -> int:
                  "pair_seg", "seg_ci", "seg_cj", "diag_pos",
                  "heavy_obs", "heavy_cam", "heavy_seg", "heavy_pt_ids",
                  "seg_plan", "ci_plan",
-                 "seg_perm_cj", "cj_keys", "nondiag", "cj_plan"],
+                 "seg_perm_cj", "cj_keys", "nondiag", "cj_plan", "track"],
     meta_fields=["n_pairs", "n_cameras", "max_degree",
                  "n_segments", "k_pad", "n_heavy_obs", "n_heavy_pts",
                  "symmetric", "banded", "band_offsets", "c_pad", "k_band"],
@@ -117,6 +117,11 @@ class PairPlan:
     band_offsets: tuple = ()   # ascending, band_offsets[0] == 0 when banded
     c_pad: int = 0             # camera lane padding of the band grid
     k_band: int = 0            # len(band_offsets) * c_pad
+    # track-major extension (tpu_ba/solver/tracks.py): points with
+    # consecutive camera tracks are NOT pair-enumerated — their band
+    # contributions come from the gather-free track kernel; only the
+    # leftover (wraparound / irregular) points go through the pair gather
+    track: object = None       # TrackLayout | None
 
 
 def build_pair_plan(cam_idx, pt_idx, n_obs: int, n_cameras: int, n_points: int,
@@ -124,7 +129,8 @@ def build_pair_plan(cam_idx, pt_idx, n_obs: int, n_cameras: int, n_points: int,
                     pad_multiple: int = 2048,
                     with_kernel_plans: bool = False,
                     symmetric: bool = False,
-                    banded: bool = True) -> PairPlan:
+                    banded: bool = True,
+                    tracks: bool | None = None) -> PairPlan:
     """Host-side plan: enumerate observation pairs sharing a point, sorted by
     camera-pair key. Points whose track length exceeds ``max_degree``
     (quadratic pair blowup) are split off into the *heavy* set: their
@@ -158,6 +164,24 @@ def build_pair_plan(cam_idx, pt_idx, n_obs: int, n_cameras: int, n_points: int,
     deg = np.bincount(pi_sorted, minlength=n_points)
     dmax = int(deg.max()) if deg.size else 0
     starts = np.concatenate([[0], np.cumsum(deg)])[:-1]
+
+    # track-major split (tpu_ba/solver/tracks.py): points whose cameras form
+    # a CONSECUTIVE run skip pair enumeration entirely — their band
+    # contributions come from the gather-free track path; zeroing their
+    # degree here removes them from both the heavy set and the pair loop
+    if tracks is None:
+        tracks = bool(symmetric and banded)
+    trk_mask = None
+    trk_dmax = 0
+    if tracks and symmetric and banded:
+        from tpu_ba.solver.tracks import split_tracks
+
+        tm, _, _, _ = split_tracks(cam_idx, pt_idx, n_obs, n_points)
+        if tm.any():
+            trk_mask = tm
+            trk_dmax = int(deg[tm].max())
+            deg = deg.copy()
+            deg[tm] = 0
 
     # heavy points: matrix-free side channel, excluded from pair enumeration
     heavy_mask = deg > max_degree
@@ -220,7 +244,8 @@ def build_pair_plan(cam_idx, pt_idx, n_obs: int, n_cameras: int, n_points: int,
     pair_p = np.concatenate(chunks_p) if chunks_p else np.zeros(0, np.int64)
     np_real = pair_i.shape[0]
 
-    use_banded = bool(symmetric and banded and np_real)
+    use_banded = bool(symmetric and banded
+                      and (np_real or trk_mask is not None))
     band_list: tuple = ()
     c_pad = k_band = 0
     if use_banded:
@@ -237,6 +262,18 @@ def build_pair_plan(cam_idx, pt_idx, n_obs: int, n_cameras: int, n_points: int,
         cjp = ci[pair_j]
         off = cjp - cip                                   # ≥ 0 (ci ≤ cj)
         u_off, n_pairs_per_off = np.unique(off, return_counts=True)
+        if trk_dmax:
+            # window offsets 0..dmax−1 are mandatory band slots (the track
+            # kernel writes them); protect them through the cap
+            extra = np.setdiff1d(np.arange(trk_dmax), u_off)
+            u_off = np.concatenate([u_off, extra])
+            n_pairs_per_off = np.concatenate(
+                [n_pairs_per_off.astype(np.int64),
+                 np.full(extra.shape, 1 << 60, np.int64)])
+            srt = np.argsort(u_off)
+            u_off, n_pairs_per_off = u_off[srt], n_pairs_per_off[srt]
+            win = u_off < trk_dmax
+            n_pairs_per_off = np.where(win, 1 << 60, n_pairs_per_off)
         band_mask = np.ones(u_off.shape[0], bool)
         if u_off.shape[0] > 32:                           # cap band width
             order_cnt = np.argsort(-n_pairs_per_off)
@@ -246,7 +283,9 @@ def build_pair_plan(cam_idx, pt_idx, n_obs: int, n_cameras: int, n_points: int,
         if 0 not in band_arr:
             band_arr = np.concatenate([[0], band_arr])
         band_list = tuple(int(o) for o in band_arr)
-        c_pad = _round_up(n_cameras, 128)
+        # +trk_dmax margin: the track reduction keys are start+a ≤
+        # (C−1)+(dmax−1) and must stay inside one band row
+        c_pad = _round_up(n_cameras + trk_dmax, 128)
         k_band = len(band_list) * c_pad
 
         off_to_idx = np.full(int(u_off.max()) + 1, -1, np.int64)
@@ -342,7 +381,16 @@ def build_pair_plan(cam_idx, pt_idx, n_obs: int, n_cameras: int, n_points: int,
             cj_plan = build_segsum_plan(cj_keys, n_cameras + 1,
                                         tile=pad_multiple)
 
+    track_layout = None
+    if trk_mask is not None:
+        from tpu_ba.solver.tracks import build_track_layout
+
+        track_layout = build_track_layout(
+            cam_idx, pt_idx, n_obs, n_cameras, n_points, c_pad,
+            with_kernel_plans=with_kernel_plans)
+
     return PairPlan(
+        track=track_layout,
         pair_i=jnp.asarray(pair_i.astype(np.int32)),
         pair_j=jnp.asarray(pair_j.astype(np.int32)),
         pair_pt=jnp.asarray(pair_p.astype(np.int32)),
@@ -389,6 +437,11 @@ class PairData(NamedTuple):
     packed: jax.Array
     heavy_W: jax.Array | None = None
     heavy_V: jax.Array | None = None
+    # track-major pack (tpu_ba/solver/tracks.py): W in (27, dmax, Pt) slot
+    # order, V in start-sorted point order — ONE O-sized permutation gather
+    # replacing the quadratic per-pair gather for consecutive tracks
+    trk_W: jax.Array | None = None
+    trk_V: jax.Array | None = None
 
 
 def precompute_pair_data(B: BlockSystem, pairs: PairPlan,
@@ -405,9 +458,15 @@ def precompute_pair_data(B: BlockSystem, pairs: PairPlan,
     packed = jnp.concatenate(
         [W[:, pairs.pair_i], W[:, pairs.pair_j], B.V[:, pairs.pair_pt]],
         axis=0)
+    trk_W = trk_V = None
+    if pairs.track is not None:
+        from tpu_ba.solver.tracks import gather_track_data
+
+        trk_W, trk_V = gather_track_data(W, B.V, pairs.track)
     if pairs.n_heavy_pts == 0:
-        return PairData(packed)
-    return PairData(packed, W[:, pairs.heavy_obs], B.V[:, pairs.heavy_pt_ids])
+        return PairData(packed, trk_W=trk_W, trk_V=trk_V)
+    return PairData(packed, W[:, pairs.heavy_obs], B.V[:, pairs.heavy_pt_ids],
+                    trk_W=trk_W, trk_V=trk_V)
 
 
 def _heavy_operator(pair_data: PairData, lam, pairs: PairPlan, dc: int,
@@ -606,7 +665,31 @@ def _compact_blocks(B: BlockSystem, lam, pairs: PairPlan, pair_data,
     # only the trash column k_pad−1 receives padding pairs (segment_sum
     # zero-initializes untouched segments) — zero it so diag_pos reads of
     # absent diagonals are exact zeros
-    return blk.at[:, -1].set(0.0)
+    blk = blk.at[:, -1].set(0.0)
+
+    if pairs.track is not None:
+        # gather-free band contributions of the consecutive tracks: slot
+        # pair (a, b) of a track starting at c0 is band block
+        # (offset b−a, row c0+a) — added on top of the legacy pair rows
+        from tpu_ba.solver import tracks as tracks_mod
+
+        tl = pairs.track
+        if tl.plan is not None:
+            from tpu_ba.kernels.trackband import fused_track_blocks
+
+            tout = fused_track_blocks(
+                pair_data.trk_W, pair_data.trk_V, lam, tl, dc=dc,
+                diag_floor=diag_floor, diag_ceil=diag_ceil)
+        else:
+            tout = tracks_mod.track_blocks_jnp(
+                pair_data.trk_W, pair_data.trk_V, lam, tl, dc,
+                diag_floor, diag_ceil)
+        d2 = dc * dc
+        cp = pairs.c_pad
+        for g in range(tl.dmax):
+            pos = pairs.band_offsets.index(g) * cp
+            blk = blk.at[:, pos:pos + cp].add(tout[g * d2:(g + 1) * d2, :cp])
+    return blk
 
 
 def make_banded_matvec(blk, Ul, pairs: PairPlan, dc: int, heavy_term=None):
