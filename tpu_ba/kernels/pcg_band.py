@@ -100,30 +100,32 @@ def _make_kernel(dc: int, c_pad: int, n_cameras: int,
         rz0 = dot(r0, z0)
         thresh = tol2 * jnp.maximum(dot(b, b), jnp.float32(1e-30))
 
-        def body(_, st):
+        def cond(st):
             x, r, p, rz, k, ok = st
-            active = jnp.logical_and(dot(r, r) > thresh, ok)
+            go = jnp.logical_and(k < max_iters, dot(r, r) > thresh)
+            return jnp.logical_and(go, ok)
+
+        def body(st):
+            x, r, p, rz, k, ok = st
             Ap = apply_S(p)
             pAp = dot(p, Ap)
             broke = pAp <= 0
             alpha = jnp.where(
                 broke, 0.0,
                 rz / jnp.where(jnp.abs(pAp) < 1e-30, 1e-30, pAp))
-            x1 = x + alpha * p
-            r1 = r - alpha * Ap
-            z1 = precond(r1)
-            rz1 = dot(r1, z1)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = precond(r)
+            rz1 = dot(r, z)
             beta = rz1 / jnp.where(jnp.abs(rz) < 1e-30, 1e-30, rz)
-            p1 = z1 + beta * p
-            ok1 = jnp.logical_and(ok, jnp.logical_not(broke))
-            sel = lambda new, old: jnp.where(active, new, old)  # noqa: E731
-            return (sel(x1, x), sel(r1, r), sel(p1, p),
-                    jnp.where(active, rz1, rz),
-                    k + active.astype(jnp.int32),
-                    jnp.where(active, ok1, ok))
+            p = z + beta * p
+            ok = jnp.logical_and(ok, jnp.logical_not(broke))
+            return (x, r, p, rz1, k + 1, ok)
 
-        x, r, p, rz, k, ok = jax.lax.fori_loop(
-            0, max_iters, body,
+        # a real while_loop: converged/broken solves stop paying for the
+        # remaining budget (the fori+mask variant ran all max_iters)
+        x, r, p, rz, k, ok = jax.lax.while_loop(
+            cond, body,
             (x0, r0, z0, rz0, jnp.asarray(0, jnp.int32),
              jnp.asarray(True)))
         x_ref[:] = x
