@@ -257,20 +257,10 @@ def main():
                                  int(np.asarray(res.cg_history).sum()),
                                  run_s, args.problem)
 
-    # CPU baseline, measured directly at the bench problem's scale
-    if args.baseline_problem in (None, args.problem):
-        bl_problem, bl_scale = problem, 1.0
-        bl_name = args.problem
-    else:
-        bl_problem, bl_gt = make_bal_like_problem(args.baseline_problem,
-                                                  dtype=np.float32)
-        bl_scale = n_obs / bl_gt["n_obs"]
-        bl_name = args.baseline_problem
-    bl = solve_cpu_baseline(bl_problem, max_iters=args.baseline_iters,
-                            time_budget_s=300.0)
-    bl_sec_per_iter = bl["sec_per_iter"] * bl_scale
-    vs_baseline = iters_per_sec * bl_sec_per_iter
-
+    # stage-write the TPU results BEFORE the CPU baseline: openblas has
+    # segfaulted inside dense Cholesky at Venice scale on this VM (dmesg:
+    # libscipy_openblas64 SIGSEGV), and a baseline crash must not lose the
+    # measured chip numbers
     detail = {
         "problem": args.problem,
         "solver": args.solver,
@@ -296,18 +286,37 @@ def main():
         "device_memory": mem,
         "roofline": roofline,
         "cost_history": hist.tolist(),
-        "baseline": {
-            "problem": bl_name,
-            "method": "scipy Schur + dense Cholesky (MATLAB-class stand-in; "
-                      "see SURVEY.md §6 — reference has no published numbers)",
-            "iters_run": bl.get("iters", args.baseline_iters),
-            "sec_per_iter": bl["sec_per_iter"],
-            "sec_per_iter_at_bench_scale": bl_sec_per_iter,
-            "obs_scale_factor": bl_scale,
-            "final_cost": bl["final_cost"],
-        },
-        "vs_baseline_speedup": vs_baseline,
+        "baseline": None,
+        "vs_baseline_speedup": None,
     }
+    with open("bench_detail.json", "w") as fh:
+        json.dump(detail, fh, indent=1)
+
+    # CPU baseline, measured directly at the bench problem's scale
+    if args.baseline_problem in (None, args.problem):
+        bl_problem, bl_scale = problem, 1.0
+        bl_name = args.problem
+    else:
+        bl_problem, bl_gt = make_bal_like_problem(args.baseline_problem,
+                                                  dtype=np.float32)
+        bl_scale = n_obs / bl_gt["n_obs"]
+        bl_name = args.baseline_problem
+    bl = solve_cpu_baseline(bl_problem, max_iters=args.baseline_iters,
+                            time_budget_s=300.0)
+    bl_sec_per_iter = bl["sec_per_iter"] * bl_scale
+    vs_baseline = iters_per_sec * bl_sec_per_iter
+
+    detail["baseline"] = {
+        "problem": bl_name,
+        "method": "scipy Schur + dense Cholesky (MATLAB-class stand-in; "
+                  "see SURVEY.md §6 — reference has no published numbers)",
+        "iters_run": bl.get("iters", args.baseline_iters),
+        "sec_per_iter": bl["sec_per_iter"],
+        "sec_per_iter_at_bench_scale": bl_sec_per_iter,
+        "obs_scale_factor": bl_scale,
+        "final_cost": bl["final_cost"],
+    }
+    detail["vs_baseline_speedup"] = vs_baseline
     with open("bench_detail.json", "w") as fh:
         json.dump(detail, fh, indent=1)
 

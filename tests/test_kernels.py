@@ -317,3 +317,27 @@ def test_pcg_banded_kernel_warm_start_and_early_exit():
     assert int(it2) <= max(int(it1) // 4, 2)
     np.testing.assert_allclose(np.asarray(x2), np.asarray(x1),
                                rtol=1e-3, atol=1e-6)
+
+
+@pytest.mark.parametrize("robust", [0, 1, 2])
+def test_fused_cost_matches_oracle(robust):
+    """fused_cost (interpret) == residuals_bal + robust_rho, incl. masks
+    and tile padding."""
+    from tpu_ba.io.synthetic import make_synthetic_problem
+    from tpu_ba.kernels.linearize import fused_cost
+    from tpu_ba.residuals.reprojection import residuals_bal
+    from tpu_ba.residuals.robust import robust_rho
+
+    problem, _ = make_synthetic_problem(
+        6, 40, obs_per_point=4, pixel_noise=0.5, seed=15,
+        dtype=np.float32, pad_multiple=128)    # O=256: NOT a tile multiple
+    r = residuals_bal(problem.cameras, problem.points, problem.obs_2d,
+                      problem.cam_idx, problem.pt_idx, problem.mask)
+    s = jnp.sum(r * r, axis=-1)
+    rho = robust_rho(robust, s, 2.0)
+    ref = 0.5 * float(jnp.sum(jnp.where(problem.mask, rho, 0.0)))
+    out = float(fused_cost(problem.cameras, problem.points, problem.obs_2d,
+                           problem.cam_idx, problem.pt_idx, problem.mask,
+                           robust_kind=robust, robust_scale=2.0,
+                           interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=1e-5)

@@ -79,6 +79,14 @@ def lm_loop(cams0, pts0, obs, ci, pi, mask, n_cameras: int, n_points: int,
                  and config.linear_solver.endswith("_pallas"))
 
     def cost_fn(cams, pts):
+        if use_fused:
+            # one Pallas pass for the trial cost: the XLA op graph spent
+            # ~3.5 ms per evaluation at ladybug-1723 on op overhead +
+            # gathers (round-3 phase profile); oracle-tested equivalent
+            from tpu_ba.kernels.linearize import fused_cost
+
+            return fused_cost(cams, pts, obs, ci, pi, mask,
+                              robust_kind=kind, robust_scale=scale)
         r = residuals_bal(cams, pts, obs, ci, pi, mask)
         return _robust_cost(r, kind, scale, mask, axis_name)
 
