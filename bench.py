@@ -31,9 +31,14 @@ import time
 
 import numpy as np
 
-# measured streaming bandwidth of this chip (scripts/gather_microbench.py);
-# v5e spec sheet HBM bandwidth for reference
-MEASURED_STREAM_GBPS = 200.0
+# measured streaming peak of this chip (scripts/stream_peak.py — copy/triad
+# sweep, fori-amortized). Bandwidth is strongly SIZE-DEPENDENT on this
+# platform: ~9 GB/s at 8 MB working sets up to 396.6 GB/s at 512 MB (a
+# ~1.5 ms per-op-chain overhead dominates small transfers — the same
+# overhead that made the op-graph CG loop dispatch-bound). The roofline
+# denominator uses the large-set peak; per-phase achievable rates are lower
+# for small-footprint phases by construction. v5e spec sheet: 819 GB/s.
+MEASURED_STREAM_GBPS = 396.6
 SPEC_HBM_GBPS = 819.0
 
 
@@ -136,6 +141,10 @@ def main():
                     help="problem for the CPU denominator (default: the bench "
                          "problem itself — direct, no extrapolation)")
     ap.add_argument("--quick", action="store_true", help="small problem, few iters")
+    ap.add_argument("--robust", default="none",
+                    choices=["none", "huber", "cauchy", "arctan"],
+                    help="robust kernel (config 3: huber on trafalgar-257)")
+    ap.add_argument("--robust-scale", type=float, default=1.0)
     ap.add_argument("--solver", default="schur_sparse_pallas",
                     help="linear solver: schur_sparse_pallas (production) | "
                          "schur_sparse | schur_dense | schur_pcg[_pallas]")
@@ -167,9 +176,13 @@ def main():
     gen_s = time.time() - t0
     n_obs = gt["n_obs"]
 
+    from tpu_ba.residuals.robust import ROBUST_KINDS
+
     cfg = LMConfig(max_iters=args.max_iters, linear_solver=args.solver,
                    cg_max_iters=args.cg_iters, cg_tol=args.cg_tol,
-                   cg_forcing=args.cg_forcing, init_lambda=1e-4)
+                   cg_forcing=args.cg_forcing,
+                   robust_kind=ROBUST_KINDS[args.robust],
+                   robust_scale=args.robust_scale, init_lambda=1e-4)
 
     # first call: host plan build + compile (persistent cache may hit) + run.
     # a value fetch forces real completion: on the axon remote backend
@@ -239,7 +252,8 @@ def main():
         parity = {
             "golden_final_cost_f64": golden["final_cost"],
             "golden_config": {k: golden[k] for k in
-                              ("max_iters", "cg_max_iters", "cg_tol")},
+                              ("max_iters", "cg_max_iters", "cg_tol",
+                               "robust", "robust_scale") if k in golden},
             "final_cost_gap_pct": round(
                 (final_cost - golden["final_cost"])
                 / golden["final_cost"] * 100, 3),

@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--cg-iters", type=int, default=50)
     ap.add_argument("--cg-tol", type=float, default=1e-2)
     ap.add_argument("--solver", default="schur_sparse")
+    ap.add_argument("--robust", default="none",
+                    choices=["none", "huber", "cauchy", "arctan"])
+    ap.add_argument("--robust-scale", type=float, default=1.0)
     args = ap.parse_args()
 
     import jax
@@ -40,11 +43,14 @@ def main():
 
     from tpu_ba.core import LMConfig
     from tpu_ba.io.bal import make_bal_like_problem
+    from tpu_ba.residuals.robust import ROBUST_KINDS
     from tpu_ba.solver.lm import solve
 
     problem, gt = make_bal_like_problem(args.problem, dtype=np.float64)
     cfg = LMConfig(max_iters=args.max_iters, linear_solver=args.solver,
                    cg_max_iters=args.cg_iters, cg_tol=args.cg_tol,
+                   robust_kind=ROBUST_KINDS[args.robust],
+                   robust_scale=args.robust_scale,
                    init_lambda=1e-4)
     t0 = time.time()
     res = solve(problem, cfg)
@@ -59,6 +65,8 @@ def main():
         "max_iters": args.max_iters,
         "cg_max_iters": args.cg_iters,
         "cg_tol": args.cg_tol,
+        "robust": args.robust,
+        "robust_scale": args.robust_scale,
         "lm_iters": int(res.iterations),
         "lm_accepted": int(res.accepted),
         "initial_cost": float(res.initial_cost),

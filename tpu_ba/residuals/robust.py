@@ -26,6 +26,8 @@ ROBUST_NONE = 0
 ROBUST_HUBER = 1
 ROBUST_CAUCHY = 2
 ROBUST_ARCTAN = 3
+ROBUST_KINDS = {"none": ROBUST_NONE, "huber": ROBUST_HUBER,
+                "cauchy": ROBUST_CAUCHY, "arctan": ROBUST_ARCTAN}
 
 
 def robust_rho(kind: int, s, scale):
