@@ -128,10 +128,11 @@ def main():
                     help="BAL stand-in name or 'synthetic'")
     ap.add_argument("--max-iters", type=int, default=80)
     ap.add_argument("--cg-iters", type=int, default=100)
-    # 1e-4: the VMEM-resident PCG kernel runs its full (masked) iteration
-    # budget regardless of tolerance, so the tighter solve is runtime-FREE
-    # and measurably better: −0.011% f64 parity vs +0.69% at 1e-3, and
-    # fewer λ-retries (goldens recorded at the same config)
+    # 1e-4: measurably better parity (−0.011% f64 gap vs +0.69% at 1e-3)
+    # and fewer λ-retries. The VMEM PCG kernel early-exits on convergence
+    # (kernels/pcg_band.py while_loop), so the tighter tolerance DOES cost
+    # real extra CG iterations — at 37 µs/CG-iter the parity win is worth
+    # it (goldens recorded at the same config). [ADVICE r3 low #1]
     ap.add_argument("--cg-tol", type=float, default=1e-4)
     ap.add_argument("--cg-forcing", type=float, default=0.0,
                     help=">0 enables the Eisenstat-Walker forcing sequence "

@@ -128,7 +128,7 @@ def test_fused_pair_blocks_matches_unfused():
                                    rtol=2e-4, atol=1e-2)
 
 
-@pytest.mark.parametrize("robust", [0, 1, 2])
+@pytest.mark.parametrize("robust", [0, 1, 2, 3])
 def test_fused_linearize_assemble_matches_oracle(robust):
     """fused Pallas linearize+assemble (interpret) == analytic J + assemble,
     including IRLS weighting, mask handling, and the robust cost."""
@@ -319,7 +319,7 @@ def test_pcg_banded_kernel_warm_start_and_early_exit():
                                rtol=1e-3, atol=1e-6)
 
 
-@pytest.mark.parametrize("robust", [0, 1, 2])
+@pytest.mark.parametrize("robust", [0, 1, 2, 3])
 def test_fused_cost_matches_oracle(robust):
     """fused_cost (interpret) == residuals_bal + robust_rho, incl. masks
     and tile padding."""

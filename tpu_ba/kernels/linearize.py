@@ -55,6 +55,58 @@ CAM_ROWS = 90      # UtU (81, row 9m+n) | gc (9)
 _CAM_PAD = 96
 
 
+def _projection_core(in_ref):
+    """Shared per-observation BAL projection + residual chain on the packed
+    16-row input layout — used by BOTH the full linearize kernel and the
+    trial-cost kernel so the projection model (Rodrigues, z-guard,
+    distortion) can never silently diverge between cost and linearization
+    [ADVICE r3 low #4]. Returns every intermediate the Jacobian chain
+    reuses."""
+    c = [in_ref[i, :] for i in range(9)]           # camera params
+    X = [in_ref[9 + i, :] for i in range(3)]       # point
+    uv = [in_ref[12, :], in_ref[13, :]]
+    mk = in_ref[14, :]                             # 1.0 valid / 0.0 pad
+    dt = mk.dtype
+
+    aa0, aa1, aa2 = c[0], c[1], c[2]
+    f, k1, k2 = c[6], c[7], c[8]
+
+    # Rodrigues R = I + A·K + B·(aa aaᵀ − θ²I), Taylor-guarded
+    t2 = aa0 * aa0 + aa1 * aa1 + aa2 * aa2
+    small = t2 < _SMALL_THETA2
+    th = jnp.sqrt(jnp.where(small, jnp.ones_like(t2), t2))
+    A = jnp.where(small, 1.0 - t2 / 6.0, jnp.sin(th) / th)
+    Bc = jnp.where(small, 0.5 - t2 / 24.0,
+                   (1.0 - jnp.cos(th))
+                   / jnp.where(small, jnp.ones_like(t2), t2))
+    K = [[jnp.zeros_like(t2), -aa2, aa1],
+         [aa2, jnp.zeros_like(t2), -aa0],
+         [-aa1, aa0, jnp.zeros_like(t2)]]
+    aav = [aa0, aa1, aa2]
+    R = [[None] * 3 for _ in range(3)]
+    for i in range(3):
+        for j in range(3):
+            delta = 1.0 if i == j else 0.0
+            R[i][j] = (delta + A * K[i][j]
+                       + Bc * (aav[i] * aav[j]
+                               - (t2 if i == j else 0.0) * 1.0))
+
+    # P = R X + t
+    P = [sum(R[i][j] * X[j] for j in range(3)) + c[3 + i] for i in range(3)]
+    z = P[2]
+    z_safe = jnp.where(jnp.abs(z) < 1e-12, jnp.asarray(1e-12, dt), z)
+    inv_z = 1.0 / z_safe
+    p0, p1 = -P[0] * inv_z, -P[1] * inv_z
+    s = p0 * p0 + p1 * p1
+    d = 1.0 + s * (k1 + s * k2)
+    u0, u1 = f * d * p0, f * d * p1
+    r0 = (u0 - uv[0]) * mk
+    r1 = (u1 - uv[1]) * mk
+    return dict(X=X, mk=mk, dt=dt, f=f, k1=k1, k2=k2,
+                t2=t2, small=small, K=K, aav=aav, R=R,
+                inv_z=inv_z, p0=p0, p1=p1, s=s, d=d, r0=r0, r1=r1)
+
+
 def _make_kernel(robust_kind: int, robust_scale: float,
                  freeze_cols: tuple = ()):
     def kernel(chunk_ref, tile_ref, first_ref, keys_ref, in_ref,
@@ -65,47 +117,18 @@ def _make_kernel(robust_kind: int, robust_scale: float,
         def _():
             cam_out_ref[:] = jnp.zeros_like(cam_out_ref)
 
-        c = [in_ref[i, :] for i in range(9)]           # camera params
-        X = [in_ref[9 + i, :] for i in range(3)]       # point
-        uv = [in_ref[12, :], in_ref[13, :]]
-        mk = in_ref[14, :]                             # 1.0 valid / 0.0 pad
-        dt = mk.dtype
-
-        aa0, aa1, aa2 = c[0], c[1], c[2]
-        f, k1, k2 = c[6], c[7], c[8]
-
-        # Rodrigues R = I + A·K + B·(aa aaᵀ − θ²I), Taylor-guarded
-        t2 = aa0 * aa0 + aa1 * aa1 + aa2 * aa2
-        small = t2 < _SMALL_THETA2
-        th = jnp.sqrt(jnp.where(small, jnp.ones_like(t2), t2))
-        A = jnp.where(small, 1.0 - t2 / 6.0, jnp.sin(th) / th)
-        Bc = jnp.where(small, 0.5 - t2 / 24.0, (1.0 - jnp.cos(th)) / jnp.where(small, jnp.ones_like(t2), t2))
-        K = [[jnp.zeros_like(t2), -aa2, aa1],
-             [aa2, jnp.zeros_like(t2), -aa0],
-             [-aa1, aa0, jnp.zeros_like(t2)]]
-        aav = [aa0, aa1, aa2]
-        R = [[None] * 3 for _ in range(3)]
-        for i in range(3):
-            for j in range(3):
-                delta = 1.0 if i == j else 0.0
-                R[i][j] = (delta + A * K[i][j]
-                           + Bc * (aav[i] * aav[j] - (t2 if i == j else 0.0) * 1.0))
-
-        # P = R X + t
-        P = [sum(R[i][j] * X[j] for j in range(3)) + c[3 + i] for i in range(3)]
-        z = P[2]
-        z_safe = jnp.where(jnp.abs(z) < 1e-12, jnp.asarray(1e-12, dt), z)
-        inv_z = 1.0 / z_safe
-        p0, p1 = -P[0] * inv_z, -P[1] * inv_z
-        s = p0 * p0 + p1 * p1
-        d = 1.0 + s * (k1 + s * k2)
-        u0, u1 = f * d * p0, f * d * p1
-        r0 = (u0 - uv[0]) * mk
-        r1 = (u1 - uv[1]) * mk
+        pc = _projection_core(in_ref)
+        X, mk, dt = pc["X"], pc["mk"], pc["dt"]
+        f, k1, k2 = pc["f"], pc["k1"], pc["k2"]
+        t2, small, K, aav, R = (pc["t2"], pc["small"], pc["K"], pc["aav"],
+                                pc["R"])
+        inv_z, p0, p1, s, d = (pc["inv_z"], pc["p0"], pc["p1"], pc["s"],
+                               pc["d"])
+        r0, r1 = pc["r0"], pc["r1"]
 
         # robust IRLS: ρ and √ρ′ on the masked residual
         sr = r0 * r0 + r1 * r1
-        rho = robust_rho(robust_kind, sr, robust_scale) * mk
+        rho = robust_rho(robust_kind, sr, robust_scale, pallas=True) * mk
         sw = jnp.sqrt(robust_weight(robust_kind, sr, robust_scale)) * mk
 
         # du/dp (2×2), dp/dP (2×3) → du/dP (2×3)
@@ -293,10 +316,17 @@ def _make_cost_kernel(robust_kind: int, robust_scale: float):
         r0 = (u0 - uv[0]) * mk
         r1 = (u1 - uv[1]) * mk
         sr = r0 * r0 + r1 * r1
-        rho = robust_rho(robust_kind, sr, robust_scale) * mk
+        rho = robust_rho(robust_kind, sr, robust_scale, pallas=True) * mk
 
-        out_ref[:] = jnp.zeros_like(out_ref)
-        out_ref[0, 0] = jnp.sum(rho)
+        # Mosaic rejects scalar stores to VMEM ("Cannot store scalars to
+        # VMEM", jax/_src/pallas/mosaic/lowering.py) — write the tile total
+        # into lane (0, 0) of a full (8, 128) block via an iota select
+        # instead. Host-side jnp.sum(out) recovers Σρ exactly.
+        total = jnp.sum(rho)
+        rows = jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 1)
+        out_ref[:, :] = jnp.where((rows == 0) & (cols == 0), total,
+                                  jnp.zeros(out_ref.shape, dt))
 
     return kernel
 

@@ -42,6 +42,13 @@ if _HAVE_PALLAS:
     from jax.experimental.pallas import tpu as pltpu
 
 
+# admission threshold for the kernel path: operand footprints up to this
+# size keep the ~3x Mosaic scoped-vmem demand (plus margin — see the cap
+# derivation in _pcg_banded_call) inside the ~128 MB physical VMEM of a
+# v5e core. Larger bands fall back to the jnp PCG path automatically.
+VMEM_ADMIT_BYTES = 26 * 2**20
+
+
 def band_vmem_bytes(pairs, dc: int) -> int:
     """VMEM footprint of the kernel's resident operands (band blocks,
     Ul/M⁻¹, vectors) — used to gate the kernel vs the jnp fallback."""
@@ -145,11 +152,15 @@ def _pcg_banded_call(blk, ul_t, minv_t, b_t, x0_t, tol2, *, pairs,
                           pairs.band_offsets, max_iters)
     sb = blk[:, :pairs.k_band]
     # Mosaic's scoped-vmem demand measured ~3x the operand footprint (the
-    # unrolled per-offset temps stay live); the chip accepted a 100 MB limit
-    # at ladybug-1723 scale (30 MB scoped) and ran at 37 us/CG-iteration —
-    # cap generously and gate admission on the operand footprint instead
-    # (band_vmem_bytes <= 32 MB in solve_schur_sparse).
-    vmem_cap = 100 * 1024 * 1024
+    # unrolled per-offset temps stay live; 30 MB scoped at ladybug-1723,
+    # 37 us/CG-iteration). Derive the limit from the actual band footprint
+    # with that factor plus 50% margin so admission (band_vmem_bytes ≤
+    # VMEM_ADMIT_BYTES in solve_schur_sparse) implies the scoped demand
+    # fits by construction: 32 MB × 4.5 = 144 → clamped to the ~128 MB
+    # physical VMEM of a v5e core [ADVICE r3 low #3].
+    vmem_cap = min(max(int(band_vmem_bytes(pairs, dc) * 4.5),
+                       64 * 1024 * 1024),
+                   120 * 1024 * 1024)
     return pl.pallas_call(
         kernel,
         out_shape=(

@@ -78,6 +78,19 @@ def split_tracks(cam_idx, pt_idx, n_obs: int, n_points: int,
     index each point's run in that order."""
     ci = np.asarray(cam_idx)[:n_obs].astype(np.int64)
     pi = np.asarray(pt_idx)[:n_obs].astype(np.int64)
+    # the span test below (cam_last − cam_first == deg−1 ⇔ consecutive) is
+    # sound only when observations are camera-sorted within each point —
+    # guaranteed by the global camera sort (make_problem sort=True). With
+    # unsorted input (e.g. make_problem(..., sort=False)) an order like
+    # [1,3,2,4] would silently pass and produce wrong band blocks, so
+    # verify the invariant cheaply and fall back to legacy pairs otherwise
+    # [ADVICE r3 low #2].
+    if ci.size and not np.all(np.diff(ci) >= 0):
+        none = np.zeros(n_points, bool)
+        order = np.argsort(pi, kind="stable").astype(np.int64)
+        deg = np.bincount(pi[order], minlength=n_points)
+        starts = np.concatenate([[0], np.cumsum(deg)])[:-1]
+        return none, order, starts, deg
     order = np.argsort(pi, kind="stable").astype(np.int64)
     pis = pi[order]
     deg = np.bincount(pis, minlength=n_points)
