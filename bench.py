@@ -146,6 +146,10 @@ def main():
                     choices=["none", "huber", "cauchy", "arctan"],
                     help="robust kernel (config 3: huber on trafalgar-257)")
     ap.add_argument("--robust-scale", type=float, default=1.0)
+    ap.add_argument("--precond", default="jacobi",
+                    choices=["jacobi", "tridiag"],
+                    help="PCG preconditioner (tridiag = block-tridiagonal "
+                         "PCR inverse, tpu_ba/solver/tridiag.py)")
     ap.add_argument("--solver", default="schur_sparse_pallas",
                     help="linear solver: schur_sparse_pallas (production) | "
                          "schur_sparse | schur_dense | schur_pcg[_pallas]")
@@ -183,7 +187,8 @@ def main():
                    cg_max_iters=args.cg_iters, cg_tol=args.cg_tol,
                    cg_forcing=args.cg_forcing,
                    robust_kind=ROBUST_KINDS[args.robust],
-                   robust_scale=args.robust_scale, init_lambda=1e-4)
+                   robust_scale=args.robust_scale, init_lambda=1e-4,
+                   precond=args.precond)
 
     # first call: host plan build + compile (persistent cache may hit) + run.
     # a value fetch forces real completion: on the axon remote backend
@@ -211,13 +216,43 @@ def main():
     rmse = math.sqrt(2.0 * final_cost / n_obs)
 
     # device memory high-water (VERDICT.md round 2, next #6 — Venice runs
-    # must record it); the axon backend may not implement memory_stats
+    # must record it); the axon backend returns empty memory_stats, so fall
+    # back to the compiled program's static memory analysis (argument +
+    # output + XLA temp + generated code — the compiler's own HBM
+    # reservation for the solve) (VERDICT r3 weak #9)
     try:
         ms = jax.local_devices()[0].memory_stats() or {}
         mem = {k: int(v) for k, v in ms.items()
                if "bytes" in k or "size" in k}
     except Exception as e:                                # noqa: BLE001
         mem = {"unavailable": repr(e)[:120]}
+    if not mem:
+        try:
+            from tpu_ba.solver.lm import _PLAN_MEMO as _pm  # noqa: F401
+            from tpu_ba.solver.lm import _solve_jit
+
+            plans_m = pairs_m = None
+            for (tag, *_r), plan in list(_PLAN_MEMO.items()):
+                if tag == "assembly":
+                    plans_m = plan
+                elif tag.startswith("pairs"):
+                    pairs_m = plan
+            ma = _solve_jit.lower(problem, cfg, plans_m, pairs_m,
+                                  None, None).compile().memory_analysis()
+            fields = ("argument_size_in_bytes", "output_size_in_bytes",
+                      "temp_size_in_bytes", "alias_size_in_bytes",
+                      "generated_code_size_in_bytes")
+            mem = {f: int(getattr(ma, f)) for f in fields
+                   if hasattr(ma, f)}
+            if mem:
+                mem["peak_estimate_bytes"] = (
+                    mem.get("argument_size_in_bytes", 0)
+                    + mem.get("output_size_in_bytes", 0)
+                    + mem.get("temp_size_in_bytes", 0))
+                mem["source"] = "compiled.memory_analysis() (static XLA " \
+                    "reservation; axon memory_stats() is empty)"
+        except Exception as e:                            # noqa: BLE001
+            mem = {"unavailable": repr(e)[:160]}
 
     # time-to-1%-of-final-cost (BASELINE.json:2): first iteration whose cost
     # is within 1% of the final cost. Per-iteration time is apportioned by

@@ -141,6 +141,30 @@ def main():
         except Exception as e:  # noqa: BLE001
             fail(stage, e)
 
+    # PCR block-tridiagonal preconditioner through the VMEM PCG kernel
+    stage = "schur_sparse_pallas e2e precond=tridiag"
+    try:
+        from tpu_ba.residuals.robust import ROBUST_KINDS  # noqa: F811
+
+        cfg_t = LMConfig(max_iters=6, linear_solver="schur_sparse_pallas",
+                         cg_max_iters=50, cg_tol=1e-4, init_lambda=1e-4,
+                         precond="tridiag")
+        res_t = solve(problem, cfg_t)
+        cfg_j = LMConfig(max_iters=6, linear_solver="schur_sparse_pallas",
+                         cg_max_iters=50, cg_tol=1e-4, init_lambda=1e-4)
+        res_j2 = solve(problem, cfg_j)
+        ct, cj2 = float(res_t.cost), float(res_j2.cost)
+        rel = abs(ct - cj2) / max(abs(cj2), 1e-30)
+        if not (np.isfinite(ct) and rel < 5e-3):
+            fail(stage, f"tridiag={ct} jacobi={cj2} rel={rel}")
+        print(f"[tpu-smoke] ok {stage}: cost={ct:.6g} (vs jacobi "
+              f"rel={rel:.2e}, cg {int(np.asarray(res_t.cg_history).sum())} "
+              f"vs {int(np.asarray(res_j2.cg_history).sum())})")
+    except SystemExit:
+        raise
+    except Exception as e:  # noqa: BLE001
+        fail(stage, e)
+
     # frozen-intrinsics path (config-3 style): just must compile + run finite
     stage = "schur_sparse_pallas e2e freeze_camera_cols=(6,7,8)"
     try:

@@ -163,6 +163,12 @@ class LMConfig:
     # tolerance per linearization is clip(sqrt(‖g‖∞/‖g₀‖∞), cg_tol,
     # cg_forcing) — loose solves while far from the optimum, cg_tol near it.
     cg_forcing: float = 0.0
+    # PCG preconditioner on the reduced camera system: "jacobi" (damped
+    # diagonal block inverse) or "tridiag" (EXACT inverse of the
+    # block-tridiagonal part of S via parallel cyclic reduction —
+    # tpu_ba/solver/tridiag.py; banded schur_sparse plans with an offset-1
+    # band only, falls back to jacobi elsewhere).
+    precond: str = "jacobi"
     # minimum added to diagonal damping for conditioning
     diag_floor: float = 1e-6
     diag_ceil: float = 1e32

@@ -231,6 +231,11 @@ def fused_linearize_assemble(cameras, points, obs_2d, cam_idx, pt_idx, mask,
     C = cameras.shape[0]
     O = obs_2d.shape[0]
     dt = cameras.dtype
+    # input gathers: the row-gather-then-transpose spelling measured FASTER
+    # end-to-end than the lane-axis alternative cameras.T[:, idx]
+    # (26.8 vs 23.7 LM it/s at ladybug-1723, round 4) — XLA fuses this
+    # transpose into the pack concatenate, while the (9, C) lane gather
+    # forced a separate relayout. Keep the original spelling.
     camg = cameras[cam_idx].T                            # (9, O)
     ptg = points[pt_idx].T                               # (3, O)
     packed = jnp.concatenate([

@@ -60,7 +60,12 @@ def band_vmem_bytes(pairs, dc: int) -> int:
 
 
 def _make_kernel(dc: int, c_pad: int, n_cameras: int,
-                 band_offsets: tuple, max_iters: int):
+                 band_offsets: tuple, max_iters: int,
+                 pcr_levels: int = 0):
+    """``pcr_levels > 0`` switches the preconditioner from block-Jacobi to
+    the PCR-factored block-tridiagonal inverse (tpu_ba/solver/tridiag.py):
+    the factor arrays (P^k, Q^k, final D^-1) arrive VMEM-resident and each
+    application is 2 static lane rolls + 2 batched block-matvecs per level."""
     d2 = dc * dc
 
     def kernel(tol2_ref, sb_ref, ul_ref, minv_ref, b_ref, x0_ref,
@@ -69,7 +74,13 @@ def _make_kernel(dc: int, c_pad: int, n_cameras: int,
         lmask = (lanes < n_cameras).astype(jnp.float32)    # (1, c_pad)
 
         ul = ul_ref[:].reshape(dc, dc, c_pad)
-        mi = minv_ref[:].reshape(dc, dc, c_pad)
+        if pcr_levels:
+            # minv_ref packs [P (K·d2) | Q (K·d2) | Dinv_fin (d2)] rows
+            K = pcr_levels
+            pq = minv_ref[:]
+            df = pq[2 * K * d2:].reshape(dc, dc, c_pad)
+        else:
+            mi = minv_ref[:].reshape(dc, dc, c_pad)
 
         def apply_S(x):                                    # x (dc, c_pad)
             # y = Ul·x − T·x; T applied per static band offset: forward
@@ -93,7 +104,22 @@ def _make_kernel(dc: int, c_pad: int, n_cameras: int,
             return (y - t) * lmask
 
         def precond(r):
-            return jnp.sum(mi * r[None, :, :], axis=1)
+            if not pcr_levels:
+                return jnp.sum(mi * r[None, :, :], axis=1)
+            # PCR back-path: r <- r - P^k r_{c-s} - Q^k r_{c+s} per level,
+            # then z = Dinv_fin r. Wraparound lanes of the rolls hit exact
+            # zeros in P/Q (out-of-range couplings are zeroed during the
+            # factorization; padding lanes are zero by construction).
+            for k in range(pcr_levels):
+                s = 1 << k
+                pk = pq[k * d2:(k + 1) * d2].reshape(dc, dc, c_pad)
+                qk = pq[(pcr_levels + k) * d2:
+                        (pcr_levels + k + 1) * d2].reshape(dc, dc, c_pad)
+                rm = pltpu.roll(r, s % c_pad, axis=1)           # r[c-s]
+                rp = pltpu.roll(r, (c_pad - s) % c_pad, axis=1)  # r[c+s]
+                r = (r - jnp.sum(pk * rm[None, :, :], axis=1)
+                     - jnp.sum(qk * rp[None, :, :], axis=1))
+            return jnp.sum(df * r[None, :, :], axis=1)
 
         def dot(a, c):
             return jnp.sum(a * c)
@@ -116,7 +142,10 @@ def _make_kernel(dc: int, c_pad: int, n_cameras: int,
             x, r, p, rz, k, ok = st
             Ap = apply_S(p)
             pAp = dot(p, Ap)
-            broke = pAp <= 0
+            # pAp ≤ 0: S not PD at this damping; rz ≤ 0: the preconditioner
+            # is not PD (PCR-tridiag on weakly-damped bands) — either way
+            # freeze, flag not-ok, let the λ-retry raise damping
+            broke = jnp.logical_or(pAp <= 0, rz <= 0)
             alpha = jnp.where(
                 broke, 0.0,
                 rz / jnp.where(jnp.abs(pAp) < 1e-30, 1e-30, pAp))
@@ -143,13 +172,14 @@ def _make_kernel(dc: int, c_pad: int, n_cameras: int,
 
 
 def _pcg_banded_call(blk, ul_t, minv_t, b_t, x0_t, tol2, *, pairs,
-                     max_iters: int, interpret):
+                     max_iters: int, interpret, pcr_levels: int = 0):
     # called from inside the (already-jitted) LM loop; the plan's band
     # layout (offsets, c_pad) is static by construction
     dc = b_t.shape[0]
     c_pad = pairs.c_pad
     kernel = _make_kernel(dc, c_pad, pairs.n_cameras,
-                          pairs.band_offsets, max_iters)
+                          pairs.band_offsets, max_iters,
+                          pcr_levels=pcr_levels)
     sb = blk[:, :pairs.k_band]
     # Mosaic's scoped-vmem demand measured ~3x the operand footprint (the
     # unrolled per-offset temps stay live; 30 MB scoped at ladybug-1723,
@@ -158,7 +188,8 @@ def _pcg_banded_call(blk, ul_t, minv_t, b_t, x0_t, tol2, *, pairs,
     # VMEM_ADMIT_BYTES in solve_schur_sparse) implies the scoped demand
     # fits by construction: 32 MB × 4.5 = 144 → clamped to the ~128 MB
     # physical VMEM of a v5e core [ADVICE r3 low #3].
-    vmem_cap = min(max(int(band_vmem_bytes(pairs, dc) * 4.5),
+    pcr_extra = 2 * pcr_levels * dc * dc * c_pad * 4   # P/Q level arrays
+    vmem_cap = min(max(int((band_vmem_bytes(pairs, dc) + pcr_extra) * 4.5),
                        64 * 1024 * 1024),
                    120 * 1024 * 1024)
     return pl.pallas_call(
@@ -187,12 +218,14 @@ def _pcg_banded_call(blk, ul_t, minv_t, b_t, x0_t, tol2, *, pairs,
 
 
 def pcg_banded(blk, Ul, Minv, b, pairs, *, max_iters: int, tol, x0=None,
-               interpret: bool | None = None):
+               interpret: bool | None = None, tridiag=None):
     """VMEM-resident PCG on the fully banded reduced camera system.
 
     blk (dc², k_pad) compact band blocks; Ul/Minv (C, dc, dc); b (C, dc).
-    Returns (x (C, dc), iterations, ok) — same contract as
-    tpu_ba.solver.pcg.pcg with the block-Jacobi preconditioner.
+    ``tridiag`` = (P (K,C,dc,dc), Q, Dinv_fin (C,dc,dc)) switches the
+    preconditioner to the PCR-factored block-tridiagonal inverse (Minv is
+    then ignored). Returns (x (C, dc), iterations, ok) — same contract as
+    tpu_ba.solver.pcg.pcg.
     """
     C, dc = b.shape
     c_pad = pairs.c_pad
@@ -206,7 +239,16 @@ def pcg_banded(blk, Ul, Minv, b, pairs, *, max_iters: int, tol, x0=None,
         return jnp.pad(v.T.astype(f32), ((0, 0), (0, c_pad - C)))
 
     ul_t = to_lane_blocks(Ul)
-    minv_t = to_lane_blocks(Minv)
+    pcr_levels = 0
+    if tridiag is not None:
+        from tpu_ba.solver.tridiag import factor_t
+
+        P, Q, Dinv_fin = tridiag
+        pcr_levels = int(P.shape[0])
+        p_t, q_t, df_t = factor_t(P, Q, Dinv_fin, c_pad)
+        minv_t = jnp.concatenate([p_t, q_t, df_t], axis=0)
+    else:
+        minv_t = to_lane_blocks(Minv)
     b_t = to_lane_vec(b)
     x0_t = to_lane_vec(x0) if x0 is not None else jnp.zeros((dc, c_pad), f32)
     tol2 = jnp.full((1, 1), 1.0, f32) * jnp.square(
@@ -214,5 +256,6 @@ def pcg_banded(blk, Ul, Minv, b, pairs, *, max_iters: int, tol, x0=None,
 
     x_t, it, ok = _pcg_banded_call(
         blk.astype(f32), ul_t, minv_t, b_t, x0_t, tol2,
-        pairs=pairs, max_iters=int(max_iters), interpret=interpret)
+        pairs=pairs, max_iters=int(max_iters), interpret=interpret,
+        pcr_levels=pcr_levels)
     return x_t[:, :C].T.astype(b.dtype), it[0, 0], ok[0, 0] != 0

@@ -119,6 +119,7 @@ def lm_loop(cams0, pts0, obs, ci, pi, mask, n_cameras: int, n_points: int,
                 # device-sharded) — select the VMEM PCG kernel explicitly
                 # for the _pallas solver variant (VERDICT r3 missing #5)
                 pcg_kernel=config.linear_solver == "schur_sparse_pallas",
+                precond=config.precond,
             )
         elif config.linear_solver in ("schur_pcg", "schur_pcg_pallas"):
             return schur_mod.solve_schur_pcg(

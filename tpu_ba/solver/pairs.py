@@ -753,7 +753,8 @@ def make_banded_matvec(blk, Ul, pairs: PairPlan, dc: int, heavy_term=None):
 def solve_schur_sparse(B: BlockSystem, lam, pairs: PairPlan, pair_data=None, *,
                        cg_max_iters: int, cg_tol, cg_x0=None,
                        diag_floor: float, diag_ceil: float, plans=None,
-                       axis_name=None, pcg_kernel: bool | None = None):
+                       axis_name=None, pcg_kernel: bool | None = None,
+                       precond: str = "jacobi"):
     """Linear solve on the *block-sparse* explicit reduced camera system.
 
     Same contract as solve_schur_dense, but S's off-diagonal structure is
@@ -792,6 +793,18 @@ def solve_schur_sparse(B: BlockSystem, lam, pairs: PairPlan, pair_data=None, *,
         diag_S = diag_S - diag_h
     Minv = inv_spd_small(diag_S)
 
+    # block-tridiagonal PCR preconditioner (tpu_ba/solver/tridiag.py):
+    # exact inverse of the {0, 1}-offset part of S, factored ONCE per
+    # λ-retry in plain XLA ops; applied inside the PCG loop (kernel or jnp)
+    # as O(log C) batched block-matvecs. VERDICT r3 next #6.
+    pcr = None
+    if (precond == "tridiag" and pairs.banded and pairs.n_heavy_pts == 0
+            and len(pairs.band_offsets) > 1 and pairs.band_offsets[1] == 1):
+        from tpu_ba.solver.tridiag import pcr_factor, tridiag_from_band
+
+        D_t, B_up = tridiag_from_band(blk, diag_S, pairs, dc)
+        pcr = pcr_factor(D_t, B_up)
+
     Vinv_pts = inv3x3_rows(Vl_pts)
     b = schur_rhs(B, Vinv_pts, axis_name, plans)               # (C, dc)
 
@@ -815,10 +828,12 @@ def solve_schur_sparse(B: BlockSystem, lam, pairs: PairPlan, pair_data=None, *,
         from tpu_ba.kernels.pcg_band import (VMEM_ADMIT_BYTES,
                                              band_vmem_bytes, pcg_banded)
 
-        if band_vmem_bytes(pairs, dc) <= VMEM_ADMIT_BYTES:
+        pcr_bytes = (2 * pcr[0].shape[0] * dc * dc * pairs.c_pad * 4
+                     if pcr is not None else 0)
+        if band_vmem_bytes(pairs, dc) + pcr_bytes <= VMEM_ADMIT_BYTES:
             dx_cam, cg_iters, ok = pcg_banded(
                 blk, Ul, Minv, b, pairs,
-                max_iters=cg_max_iters, tol=cg_tol, x0=cg_x0)
+                max_iters=cg_max_iters, tol=cg_tol, x0=cg_x0, tridiag=pcr)
             dx_pt = back_substitute(B, Vinv_pts, dx_cam, axis_name, plans)
             return dx_cam, dx_pt, cg_iters, ok
 
@@ -862,8 +877,14 @@ def solve_schur_sparse(B: BlockSystem, lam, pairs: PairPlan, pair_data=None, *,
                 y = y - heavy_term(x)
             return y
 
-    def precond(r):
-        return jnp.einsum("cij,cj->ci", Minv, r)
+    if pcr is not None:
+        from tpu_ba.solver.tridiag import pcr_apply
+
+        def precond(r):
+            return pcr_apply(*pcr, r)
+    else:
+        def precond(r):
+            return jnp.einsum("cij,cj->ci", Minv, r)
 
     dx_cam, cg_iters, ok = pcg(matvec, b, precond,
                                max_iters=cg_max_iters, tol=cg_tol, x0=cg_x0)

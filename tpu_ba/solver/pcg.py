@@ -46,9 +46,11 @@ def pcg(matvec, b, precond, *, max_iters: int, tol: float, x0=None):
         x, r, p, rz, k, ok = state
         Ap = matvec(p)
         pAp = dot(p, Ap)
-        # breakdown (pAp ≤ 0 ⇒ S not PD at this damping): freeze the iterate,
+        # breakdown (pAp ≤ 0 ⇒ S not PD at this damping; rz ≤ 0 ⇒ the
+        # PRECONDITIONER is not PD — possible for the block-tridiagonal PCR
+        # preconditioner on weakly-damped indefinite bands): freeze the iterate,
         # flag not-ok; cond exits on the next check
-        broke = pAp <= 0
+        broke = jnp.logical_or(pAp <= 0, rz <= 0)
         alpha = jnp.where(broke, 0.0, rz / jnp.where(jnp.abs(pAp) < 1e-30, 1e-30, pAp))
         x = x + alpha * p
         r = r - alpha * Ap
