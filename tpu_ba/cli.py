@@ -39,6 +39,10 @@ def _add_ba(sub):
     p.add_argument("--robust", choices=["none", "huber", "cauchy", "arctan"],
                    default="none")
     p.add_argument("--robust-scale", type=float, default=2.0)
+    p.add_argument("--precond", choices=["jacobi", "tridiag"],
+                   default="jacobi",
+                   help="PCG preconditioner (tridiag = block-tridiagonal "
+                        "PCR inverse; banded schur_sparse plans only)")
     p.add_argument("--sharded", action="store_true",
                    help="run over all local devices (observation-sharded)")
     p.add_argument("--coordinator", default=None,
@@ -132,7 +136,7 @@ def cmd_ba(args) -> int:
     kwargs = dict(max_iters=args.max_iters, cg_max_iters=args.cg_iters,
                   cg_tol=args.cg_tol, robust_kind=_robust_kind(args.robust),
                   robust_scale=args.robust_scale,
-                  linear_solver=args.solver)
+                  linear_solver=args.solver, precond=args.precond)
     if args.checkpoint and args.checkpoint_every:
         kwargs.update(checkpoint_every=args.checkpoint_every,
                       checkpoint_path=args.checkpoint)
