@@ -117,6 +117,38 @@ def main():
     v0 = jnp.ones((12, O), jnp.float32)
     out["pt_segsum"] = {"ms": timeit_scan(ph_ptseg, (v0, jnp.float32(0))) * 1e3}
 
+    # the degree-bucketed alternative (and the one-hot-only fallback)
+    import dataclasses as _dc
+
+    plans_onehot = _dc.replace(plans, bucket_idx=(), bucket_degrees=())
+
+    def ph_ptseg_onehot(c):
+        v, acc = c
+        ptp = pt_segsum_t(plans_onehot, v, pi, P)
+        return (v + 1e-30, acc + jnp.sum(ptp) * 1e-30)
+
+    out["pt_segsum_onehot"] = {
+        "ms": timeit_scan(ph_ptseg_onehot, (v0, jnp.float32(0))) * 1e3}
+
+    # chunk sweep for the one-hot pt plan: its MXU work scales with the
+    # output-chunk width; point segments are tiny so narrow chunks waste
+    # far less (per-program one-hot is (rows, tile) @ (tile, chunk))
+    from tpu_ba.kernels.segsum import build_segsum_plan, sorted_segment_sum_t
+
+    pk = plans.pt_sorted_keys
+    perm = plans.perm_pt
+    for ch in (128, 256, 512):
+        tile_c = 2048 if len(np.asarray(pk)) % 2048 == 0 else 1024
+        plan_c = build_segsum_plan(np.asarray(pk), P, tile=tile_c, chunk=ch)
+
+        def ph(c, plan_c=plan_c):
+            v, acc = c
+            ptp = sorted_segment_sum_t(v[:, perm], pk, P, plan=plan_c)
+            return (v + 1e-30, acc + jnp.sum(ptp) * 1e-30)
+
+        out[f"pt_segsum_chunk{ch}"] = {
+            "ms": timeit_scan(ph, (v0, jnp.float32(0))) * 1e3}
+
     for k, v in out.items():
         mb = v.get("mb")
         rate = f"  {mb / v['ms'] / 1e3:6.1f} GB/s" if mb else ""

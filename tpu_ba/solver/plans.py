@@ -17,6 +17,7 @@ import dataclasses
 from functools import partial
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from tpu_ba.kernels.segsum import SegsumPlan, build_segsum_plan
@@ -24,8 +25,9 @@ from tpu_ba.kernels.segsum import SegsumPlan, build_segsum_plan
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["perm_pt", "pt_sorted_keys", "cam_plan", "pt_plan"],
-    meta_fields=[],
+    data_fields=["perm_pt", "pt_sorted_keys", "cam_plan", "pt_plan",
+                 "bucket_idx", "bucket_perm"],
+    meta_fields=["bucket_degrees"],
 )
 @dataclasses.dataclass(frozen=True)
 class AssemblyPlans:
@@ -33,11 +35,34 @@ class AssemblyPlans:
     pt_sorted_keys: jax.Array   # (O,) int32: pt_idx[perm_pt] (sorted)
     cam_plan: SegsumPlan
     pt_plan: SegsumPlan
+    # degree-bucketed point-reduction schedule (round 4): the one-hot
+    # segsum pays O(chunk·tile) MXU work per program regardless of the
+    # 12-row payload — measured 6.0 ms per (12, O) point reduction at
+    # ladybug-1723 vs 6.3 ms for the ENTIRE fused linearize kernel. Point
+    # segments are tiny (mean degree ~4), so a dense slot gather per
+    # power-of-two degree class + an axis sum does the same reduction in
+    # one lane-gather pass. ``bucket_idx[k]`` is the flattened
+    # (degree_k · P_k) observation-index array of class k (index O ⇒ the
+    # appended zero column); ``bucket_perm`` (P,) gathers the class-major
+    # concat back into point order.
+    bucket_idx: tuple = ()
+    bucket_perm: jax.Array | None = None
+    bucket_degrees: tuple = ()
 
 
 def build_plans(cam_idx, pt_idx, n_cameras: int, n_points: int,
-                *, tile: int = 2048) -> AssemblyPlans:
-    """Host-side plan construction from concrete index arrays."""
+                *, tile: int = 2048,
+                pt_buckets: bool = False) -> AssemblyPlans:
+    """Host-side plan construction from concrete index arrays.
+
+    ``pt_buckets`` builds the degree-bucketed point-reduction schedule —
+    MEASURED SLOWER on this chip (8.7 ms vs 6.0 ms for the one-hot plan at
+    ladybug-1723, scripts/linearize_input_bench.json): XLA gathers here are
+    index-rate-bound (~210M indices/s regardless of row width — g_cam
+    24 MB and g_pt 8 MB cost the same 3.2 ms), so the bucket gather's
+    ~1.3·O indices lose to the one-hot path's single O-index permutation.
+    Kept (tested, exact) as the documented negative result and for
+    hardware where gathers are bandwidth-bound instead."""
     import jax.numpy as jnp
 
     ci = np.asarray(cam_idx)
@@ -56,11 +81,43 @@ def build_plans(cam_idx, pt_idx, n_cameras: int, n_points: int,
     pk = pi[perm].astype(np.int32)
     cam_plan = build_segsum_plan(ci, n_cameras, tile=tile)
     pt_plan = build_segsum_plan(pk, n_points, tile=tile)
+
+    if not pt_buckets:
+        return AssemblyPlans(
+            perm_pt=jnp.asarray(perm),
+            pt_sorted_keys=jnp.asarray(pk),
+            cam_plan=cam_plan,
+            pt_plan=pt_plan,
+        )
+    # degree-bucketed reduction schedule (see AssemblyPlans docstring)
+    deg = np.bincount(pi, minlength=n_points)
+    starts = np.concatenate([[0], np.cumsum(deg)])[:-1]
+    cls = np.maximum(deg, 1)
+    cls = 2 ** np.ceil(np.log2(cls)).astype(np.int64)    # next pow2 ≥ deg
+    bucket_idx = []
+    bucket_degrees = []
+    order_chunks = []
+    for d in np.unique(cls):
+        pts = np.nonzero(cls == d)[0]
+        idx = np.full((int(d), pts.size), O, np.int64)   # O ⇒ zero column
+        for a in range(int(d)):
+            ok = deg[pts] > a
+            idx[a, ok] = perm[starts[pts[ok]] + a]
+        bucket_idx.append(jnp.asarray(idx.reshape(-1).astype(np.int32)))
+        bucket_degrees.append(int(d))
+        order_chunks.append(pts)
+    concat_order = np.concatenate(order_chunks) if order_chunks else \
+        np.zeros(0, np.int64)
+    bucket_perm = np.empty(n_points, np.int64)
+    bucket_perm[concat_order] = np.arange(n_points)
     return AssemblyPlans(
         perm_pt=jnp.asarray(perm),
         pt_sorted_keys=jnp.asarray(pk),
         cam_plan=cam_plan,
         pt_plan=pt_plan,
+        bucket_idx=tuple(bucket_idx),
+        bucket_perm=jnp.asarray(bucket_perm.astype(np.int32)),
+        bucket_degrees=tuple(bucket_degrees),
     )
 
 
@@ -93,8 +150,26 @@ def cam_segsum_t(plans: AssemblyPlans | None, values_t, cam_idx, n_cameras: int)
 
 
 def pt_segsum_t(plans: AssemblyPlans | None, values_t, pt_idx, n_points: int):
-    """Point-keyed segment sum, lane-major: (D, O) → (D, P). With a plan the
-    permutation into point-sorted order is a lane-axis gather."""
+    """Point-keyed segment sum, lane-major: (D, O) → (D, P).
+
+    With bucket schedules (the default built by build_plans): one zero-
+    padded lane gather per power-of-two degree class + an axis sum. Point
+    segments are tiny (mean degree ~4), so the one-hot segsum kernel
+    wastes almost all of its MXU work here — measured 6.0 ms per (12, O)
+    reduction at ladybug-1723, as much as the entire fused linearize
+    kernel (scripts/linearize_input_bench.py). Exact same reduction tree
+    per point as a direct sum. Falls back to the one-hot kernel plan,
+    then jnp segment_sum."""
+    if plans is not None and plans.bucket_idx:
+        D = values_t.shape[0]
+        v = jnp.concatenate(
+            [values_t, jnp.zeros((D, 1), values_t.dtype)], axis=1)
+        parts = []
+        for d, idx in zip(plans.bucket_degrees, plans.bucket_idx):
+            g = v[:, idx]                              # (D, d·P_d)
+            parts.append(g.reshape(D, d, -1).sum(axis=1))
+        out = jnp.concatenate(parts, axis=1)           # (D, P) class-major
+        return out[:, plans.bucket_perm]
     from tpu_ba.kernels.segsum import sorted_segment_sum_t
 
     if plans is None:
