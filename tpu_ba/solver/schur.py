@@ -93,16 +93,18 @@ def _reduce(x, axis_name):
 def _cam_sum_t(values_t, cam_idx, n, axis_name, plans):
     from tpu_ba.solver.plans import cam_segsum_t
 
-    out = cam_segsum_t(plans if axis_name is None else None,
-                       values_t, cam_idx, n)
+    # under sharding ``plans`` (when provided) is the PER-DEVICE schedule
+    # from build_sharded_plans, already unstacked — the kernel reduces the
+    # local shard and the psum completes it (round 4; previously sharded
+    # callers always fell back to jnp segment_sum scatter-adds)
+    out = cam_segsum_t(plans, values_t, cam_idx, n)
     return _reduce(out, axis_name)
 
 
 def _pt_sum_t(values_t, pt_idx, n, axis_name, plans):
     from tpu_ba.solver.plans import pt_segsum_t
 
-    out = pt_segsum_t(plans if axis_name is None else None,
-                      values_t, pt_idx, n)
+    out = pt_segsum_t(plans, values_t, pt_idx, n)
     return _reduce(out, axis_name)
 
 
