@@ -63,15 +63,20 @@ def _roofline(problem, pairs, iters, accepted, cg_total, run_s, name):
         ph = prof["phases"]
         acc_ratio = accepted / max(iters, 1)
         cg_per_iter = cg_total / max(iters, 1)
+        zero = {"bytes": 0, "ms": 0.0}
         per_iter_bytes = (
             acc_ratio * (ph["linearize"]["bytes"] + ph["pair_gather"]["bytes"])
             + ph["blk_build"]["bytes"] + ph["rhs_back"]["bytes"]
             + ph["cost_eval"]["bytes"]
+            + ph.get("damp_inv", zero)["bytes"]
+            + ph.get("pcg_pack", zero)["bytes"]
             + cg_per_iter * ph["cg_iteration"]["bytes"])
         per_iter_ms = (
             acc_ratio * (ph["linearize"]["ms"] + ph["pair_gather"]["ms"])
             + ph["blk_build"]["ms"] + ph["rhs_back"]["ms"]
             + ph["cost_eval"]["ms"]
+            + ph.get("damp_inv", zero)["ms"]
+            + ph.get("pcg_pack", zero)["ms"]
             + cg_per_iter * ph["cg_iteration"]["ms"])
         total = per_iter_bytes * iters
         gbps = total / run_s / 1e9

@@ -282,22 +282,65 @@ def main():
         "bytes": O * 108 * 2 + P * 9 * 4 * 2,
     }
 
-    # ---- phase: cost eval -------------------------------------------------
-    from tpu_ba.residuals.reprojection import residuals_bal
-    from tpu_ba.residuals.robust import robust_rho
+    # ---- phase: cost eval (the production fused kernel) -------------------
+    from tpu_ba.kernels.linearize import fused_cost
 
     def ph_cost(c):
         cams2, acc = c
-        r = residuals_bal(cams2, pts, obs, ci, pi, mask)
-        s = jnp.sum(r * r, axis=-1)
-        rho = robust_rho(cfg.robust_kind, s, cfg.robust_scale)
-        cost = 0.5 * jnp.sum(jnp.where(mask, rho, 0.0))
+        cost = fused_cost(cams2, pts, obs, ci, pi, mask,
+                          robust_kind=cfg.robust_kind,
+                          robust_scale=cfg.robust_scale)
         return (cams2 + cost * 1e-30, acc)
 
     phases["cost_eval"] = {
         "s": timeit_scan(ph_cost, (cams, jnp.zeros((1,), jnp.float32))),
         "per": "lambda_retry",
         "bytes": O * 17,
+    }
+
+    # ---- phase: damping + small-block inverses + preconditioner (per λ) ---
+    def ph_damp(c):
+        lam2, acc = c
+        Ul2, Vl2 = damp_blocks(B, lam2, cfg.diag_floor, cfg.diag_ceil)
+        Vinv2 = inv3x3_rows(Vl2)
+        diag_S2 = Ul2 - blk0[:, :C].reshape(dc, dc, C).transpose(2, 0, 1)
+        Minv2 = inv_spd_small(diag_S2)
+        return (lam2 * (1.0 + 1e-30),
+                acc + (jnp.sum(Minv2[0]) + jnp.sum(Vinv2[:, 0])
+                       + jnp.sum(Ul2[0])) * 1e-30)
+
+    phases["damp_inv"] = {
+        "s": timeit_scan(ph_damp, (lam, jnp.zeros((1,), jnp.float32))),
+        "per": "lambda_retry",
+        # V blocks r+w (9P ×2 for damp + inv), U blocks, diag_S + Minv
+        "bytes": (P * 9 * 3 + C * 81 * 4) * 4,
+    }
+
+    # ---- phase: PCG kernel operand repack (per λ) --------------------------
+    c_pad = pairs.c_pad
+    Ul0, Vl0 = damp_blocks(B, lam, cfg.diag_floor, cfg.diag_ceil)
+    diag_S0 = Ul0 - blk0[:, :C].reshape(dc, dc, C).transpose(2, 0, 1)
+    Minv0 = inv_spd_small(diag_S0)
+    b0 = schur_rhs(B, inv3x3_rows(Vl0))
+
+    def ph_pcgpack(c):
+        Ulc, acc = c
+
+        def lanes(A):
+            At = A.transpose(1, 2, 0).reshape(dc * dc, C)
+            return jnp.pad(At, ((0, 0), (0, c_pad - C)))
+
+        ul_t = lanes(Ulc)
+        mi_t = lanes(Minv0)
+        b_t = jnp.pad(b0.T, ((0, 0), (0, c_pad - C)))
+        return (Ulc * (1.0 + 1e-30),
+                acc + (jnp.sum(ul_t[0]) + jnp.sum(mi_t[0])
+                       + jnp.sum(b_t[0])) * 1e-30)
+
+    phases["pcg_pack"] = {
+        "s": timeit_scan(ph_pcgpack, (Ul0, jnp.zeros((1,), jnp.float32))),
+        "per": "lambda_retry",
+        "bytes": (C * 81 * 2 + C * dc) * 4 * 2,
     }
 
     # ---- table ------------------------------------------------------------
