@@ -59,8 +59,13 @@ def main():
     from tpu_ba.solver.plans import build_plans, pt_segsum_t
 
     problem, gt = make_bal_like_problem("ladybug-1723", dtype=np.float32)
+    # pt_buckets=True so the 'pt_segsum' phase measures the degree-bucketed
+    # reduction (opt-in since round 4 — it measured slower); production
+    # plans have no buckets and take the one-hot path (= the
+    # 'pt_segsum_onehot' phase below)
     plans = build_plans(problem.cam_idx, problem.pt_idx,
-                        problem.cameras.shape[0], problem.points.shape[0])
+                        problem.cameras.shape[0], problem.points.shape[0],
+                        pt_buckets=True)
     cams, pts = problem.cameras, problem.points
     obs, ci, pi, mask = (problem.obs_2d, problem.cam_idx, problem.pt_idx,
                          problem.mask)
@@ -115,7 +120,8 @@ def main():
         return (v + 1e-30, acc + jnp.sum(ptp) * 1e-30)
 
     v0 = jnp.ones((12, O), jnp.float32)
-    out["pt_segsum"] = {"ms": timeit_scan(ph_ptseg, (v0, jnp.float32(0))) * 1e3}
+    out["pt_segsum_bucketed"] = {
+        "ms": timeit_scan(ph_ptseg, (v0, jnp.float32(0))) * 1e3}
 
     # the degree-bucketed alternative (and the one-hot-only fallback)
     import dataclasses as _dc

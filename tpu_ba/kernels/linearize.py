@@ -283,43 +283,8 @@ def _make_cost_kernel(robust_kind: int, robust_scale: float):
     all of it op overhead and gather traffic around ~11 MB of real work."""
 
     def kernel(in_ref, out_ref):
-        c = [in_ref[i, :] for i in range(9)]
-        X = [in_ref[9 + i, :] for i in range(3)]
-        uv = [in_ref[12, :], in_ref[13, :]]
-        mk = in_ref[14, :]
-        dt = mk.dtype
-
-        aa0, aa1, aa2 = c[0], c[1], c[2]
-        f, k1, k2 = c[6], c[7], c[8]
-        t2 = aa0 * aa0 + aa1 * aa1 + aa2 * aa2
-        small = t2 < _SMALL_THETA2
-        th = jnp.sqrt(jnp.where(small, jnp.ones_like(t2), t2))
-        A = jnp.where(small, 1.0 - t2 / 6.0, jnp.sin(th) / th)
-        Bc = jnp.where(small, 0.5 - t2 / 24.0,
-                       (1.0 - jnp.cos(th))
-                       / jnp.where(small, jnp.ones_like(t2), t2))
-        K = [[jnp.zeros_like(t2), -aa2, aa1],
-             [aa2, jnp.zeros_like(t2), -aa0],
-             [-aa1, aa0, jnp.zeros_like(t2)]]
-        aav = [aa0, aa1, aa2]
-        R = [[None] * 3 for _ in range(3)]
-        for i in range(3):
-            for j in range(3):
-                delta = 1.0 if i == j else 0.0
-                R[i][j] = (delta + A * K[i][j]
-                           + Bc * (aav[i] * aav[j]
-                                   - (t2 if i == j else 0.0) * 1.0))
-        P = [sum(R[i][j] * X[j] for j in range(3)) + c[3 + i]
-             for i in range(3)]
-        z = P[2]
-        z_safe = jnp.where(jnp.abs(z) < 1e-12, jnp.asarray(1e-12, dt), z)
-        inv_z = 1.0 / z_safe
-        p0, p1 = -P[0] * inv_z, -P[1] * inv_z
-        s = p0 * p0 + p1 * p1
-        d = 1.0 + s * (k1 + s * k2)
-        u0, u1 = f * d * p0, f * d * p1
-        r0 = (u0 - uv[0]) * mk
-        r1 = (u1 - uv[1]) * mk
+        pc = _projection_core(in_ref)      # the SAME chain the linearize
+        r0, r1, mk, dt = pc["r0"], pc["r1"], pc["mk"], pc["dt"]
         sr = r0 * r0 + r1 * r1
         rho = robust_rho(robust_kind, sr, robust_scale, pallas=True) * mk
 

@@ -265,6 +265,7 @@ def run_incremental_sfm(frames, K, config: SfMConfig | None = None) -> SfMResult
         c3d = np.nonzero(corr_arr >= 0)[0]
         c2d = corr_arr[c3d]
         if len(c3d) < cfg.min_pnp_inliers:
+            _tick("map_match")           # charge the failed frame's work
             report["pnp"].append({"frame": f, "registered": False,
                                   "reason": f"only {len(c3d)} 2d-3d"})
             continue
@@ -283,6 +284,7 @@ def run_incremental_sfm(frames, K, config: SfMConfig | None = None) -> SfMResult
             inlier_thresh=cfg.pnp_thresh)
         n_in = int(n_in)
         if n_in < cfg.min_pnp_inliers:
+            _tick("pnp_ransac")          # charge the failed frame's work
             report["pnp"].append({"frame": f, "registered": False,
                                   "reason": f"{n_in} pnp inliers"})
             continue

@@ -252,7 +252,9 @@ def solve_sharded(problem: BAProblem, config: LMConfig | None = None,
         from tpu_ba.solver.plans import build_sharded_plans
 
         O = problem.obs_2d.shape[0]
-        if O % mesh.devices.size != 0:
+        if O % (mesh.devices.size * 128) != 0:
+            # shard_problem pads to n_dev·128-aligned shards — required by
+            # the per-device assembly plans, not just by even sharding
             problem = shard_problem(problem, mesh)
         plans = _memoized(
             _plan_key(problem, f"assembly-sharded-{mesh.devices.size}"),
@@ -277,7 +279,7 @@ def solve_sharded(problem: BAProblem, config: LMConfig | None = None,
                       jnp.asarray(ck["iteration"], jnp.int32),
                       ws, jnp.asarray(g0, dt))
     O = problem.obs_2d.shape[0]
-    if O % mesh.devices.size != 0:
+    if O % (mesh.devices.size * 128) != 0:
         problem = shard_problem(problem, mesh)
     return _solve_sharded_jit(problem, config, mesh, init_state, pairs,
                               plans)

@@ -813,12 +813,12 @@ def solve_schur_sparse(B: BlockSystem, lam, pairs: PairPlan, pair_data=None, *,
     # measured CG bottleneck is per-op dispatch, not bandwidth (round-3
     # phase profile). Gated to the _pallas solver variant — seg_plan built,
     # or ``pcg_kernel=True`` passed explicitly (the SHARDED production
-    # path: its pair plan carries no segsum schedules because the pair
-    # arrays are device-sharded, but after the blk psum above the band grid
-    # is fully replicated, so the kernel runs identically on every device
-    # with zero per-CG-iteration communication — VERDICT r3 missing #5).
-    # The jnp path below stays the oracle/fallback (f64 goldens, hybrid
-    # heavy tracks, over-budget bands).
+    # path: after the blk psum above the band grid is fully replicated, so
+    # the kernel runs identically on every device with zero per-CG-
+    # iteration communication — VERDICT r3 missing #5; under sharding
+    # seg_plan is the per-device blk-build schedule, hence the explicit
+    # flag). The jnp path below stays the oracle/fallback (f64 goldens,
+    # hybrid heavy tracks, over-budget bands).
     want_kernel = (pcg_kernel if pcg_kernel is not None
                    else pairs.seg_plan is not None)
     if (pairs.banded and want_kernel

@@ -152,7 +152,7 @@ def cam_segsum_t(plans: AssemblyPlans | None, values_t, cam_idx, n_cameras: int)
 def pt_segsum_t(plans: AssemblyPlans | None, values_t, pt_idx, n_points: int):
     """Point-keyed segment sum, lane-major: (D, O) → (D, P).
 
-    With bucket schedules (the default built by build_plans): one zero-
+    With bucket schedules (OPT-IN via build_plans(pt_buckets=True)): one zero-
     padded lane gather per power-of-two degree class + an axis sum. Point
     segments are tiny (mean degree ~4), so the one-hot segsum kernel
     wastes almost all of its MXU work here — measured 6.0 ms per (12, O)
@@ -190,6 +190,7 @@ def build_sharded_plans(cam_idx, pt_idx, n_cameras: int, n_points: int,
     absorbs the grid padding (kernels/segsum.py:pad_stack_segsum_plans).
     VERDICT r3 missing #5: with these, the production fused
     linearize+assemble kernel runs identically under sharding."""
+    from tpu_ba.kernels.segsum import _round_up as _round_up_pl
     from tpu_ba.kernels.segsum import pad_stack_segsum_plans
 
     ci = np.asarray(cam_idx)
@@ -231,10 +232,6 @@ def build_sharded_plans(cam_idx, pt_idx, n_cameras: int, n_points: int,
         cam_plan=pad_stack_segsum_plans(cam_plans),
         pt_plan=pad_stack_segsum_plans(pt_plans),
     )
-
-
-def _round_up_pl(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 def unstack_plans(plans: AssemblyPlans) -> AssemblyPlans:
