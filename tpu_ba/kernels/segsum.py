@@ -146,6 +146,16 @@ def resolve_interpret(interpret: bool | None) -> bool:
     return jax.default_backend() != "tpu"
 
 
+# experiment knob (round 4): TPU_BA_SPLIT_PASSES=2 drops the one-hot
+# reductions to a 2-term bf16 split (~16 mantissa bits) — fewer MXU passes
+# in the build kernels at the cost of reduction precision. Default 3
+# (~24 bits, ≡ HIGHEST); set at import time so the choice is baked into
+# the compiled program.
+import os as _os
+
+_SPLIT_PASSES = int(_os.environ.get("TPU_BA_SPLIT_PASSES", "3"))
+
+
 def split3_onehot_dot(vals, onehot_bool):
     """f32-accurate ``vals @ onehot`` in 3 native bf16 MXU passes.
 
@@ -173,6 +183,10 @@ def split3_onehot_dot(vals, onehot_bool):
     v1 = vals.astype(jnp.bfloat16)
     r1 = vals - v1.astype(jnp.float32)
     v2 = r1.astype(jnp.bfloat16)
+    if _SPLIT_PASSES == 2:
+        # experimental 2-pass split (~16 mantissa bits): measured round 4 —
+        # see the env knob note above
+        return dot(v1, oh) + dot(v2, oh)
     v3 = (r1 - v2.astype(jnp.float32)).astype(jnp.bfloat16)
     return dot(v1, oh) + dot(v2, oh) + dot(v3, oh)
 
