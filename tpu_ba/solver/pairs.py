@@ -246,6 +246,29 @@ def build_pair_plan(cam_idx, pt_idx, n_obs: int, n_cameras: int, n_points: int,
 
     use_banded = bool(symmetric and banded
                       and (np_real or trk_mask is not None))
+    if use_banded and np_real:
+        # band-coverage admission (VERDICT r4 missing #1): community-photo
+        # covisibility has ~C distinct index offsets, so the ≤32-offset band
+        # would catch almost no pairs and push everything through the slow
+        # off-band gather path while paying for a useless band grid. Band
+        # only when the capped band would cover most pairs.
+        # coverage counts OFF-DIAGONAL pairs only: the diagonal (offset 0,
+        # ~2/(d+1) of all pairs) is stored either way and would otherwise
+        # mask a useless band (a plan whose band is only the diagonal)
+        off_all = ci[pair_j] - ci[pair_i]
+        off_nz = off_all[off_all > 0]
+        _, cnt_all = np.unique(off_nz, return_counts=True)
+        top32 = np.sort(cnt_all)[::-1][:32].sum()
+        if off_nz.size and top32 < 0.5 * off_nz.size:
+            use_banded = False
+            if trk_mask is not None:
+                # tracked points were pulled out for the (now-disabled) band
+                # writer; re-enumerate them as ordinary pairs
+                return build_pair_plan(
+                    cam_idx, pt_idx, n_obs, n_cameras, n_points,
+                    max_degree=max_degree, pad_multiple=pad_multiple,
+                    with_kernel_plans=with_kernel_plans, symmetric=symmetric,
+                    banded=False, tracks=False)
     band_list: tuple = ()
     c_pad = k_band = 0
     if use_banded:
