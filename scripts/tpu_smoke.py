@@ -115,6 +115,46 @@ def main():
     except Exception as e:  # noqa: BLE001
         fail(stage, e)
 
+    # slot-major band build (level-1 bucket kernels + level-2 fold) vs the
+    # jnp oracle — explicit slots=True so the small problem engages it
+    stage = "fused slot band build (slotband)"
+    try:
+        from tpu_ba.solver.normal import assemble
+        from tpu_ba.jacobians import jacobian_blocks_bal
+        from tpu_ba.solver.pairs import (_compact_blocks, build_pair_plan,
+                                         precompute_pair_data)
+
+        r, Jc, Jp = jacobian_blocks_bal(
+            p.cameras, p.points, p.obs_2d, p.cam_idx, p.pt_idx, p.mask)
+        B = assemble(r, Jc, Jp, p.cam_idx, p.pt_idx, p.cameras.shape[0],
+                     p.points.shape[0], 0, 1.0, p.mask)
+        kwp = dict(symmetric=True, banded=True, slots=True, tracks=False)
+        pairs_k = build_pair_plan(p.cam_idx, p.pt_idx, p.n_obs,
+                                  p.cameras.shape[0], p.points.shape[0],
+                                  with_kernel_plans=True, **kwp)
+        pairs_j = build_pair_plan(p.cam_idx, p.pt_idx, p.n_obs,
+                                  p.cameras.shape[0], p.points.shape[0],
+                                  with_kernel_plans=False, **kwp)
+        if pairs_k.slot is None:
+            fail(stage, "slot layout did not engage")
+        pd_k = precompute_pair_data(B, pairs_k)
+        pd_j = precompute_pair_data(B, pairs_j)
+        lam = jnp.asarray(1e-3, jnp.float32)
+        blk_k = _compact_blocks(B, lam, pairs_k, pd_k, 1e-6, 1e32)
+        blk_j = _compact_blocks(B, lam, pairs_j, pd_j, 1e-6, 1e32)
+        scale = float(jnp.max(jnp.abs(blk_j))) or 1.0
+        err = float(jnp.max(jnp.abs(blk_k[:, :pairs_k.k_band]
+                                    - blk_j[:, :pairs_j.k_band]))) / scale
+        if not err < 2e-3:
+            fail(stage, f"rel_max_err={err}")
+        print(f"[tpu-smoke] ok {stage}: rel_max_err={err:.2e} "
+              f"(slot pts {pairs_k.slot.n_tracked}, "
+              f"buckets {pairs_k.slot.degrees})")
+    except SystemExit:
+        raise
+    except Exception as e:  # noqa: BLE001
+        fail(stage, e)
+
     # ---- stage 2: production solver end-to-end, kernels vs jnp ------------
     from tpu_ba.solver.lm import solve
 

@@ -61,25 +61,76 @@ def band_vmem_bytes(pairs, dc: int) -> int:
 
 def _make_kernel(dc: int, c_pad: int, n_cameras: int,
                  band_offsets: tuple, max_iters: int,
-                 pcr_levels: int = 0):
+                 pcr_levels: int = 0, fold_damp: bool = False,
+                 diag_floor: float = 1e-6, diag_ceil: float = 1e32):
     """``pcr_levels > 0`` switches the preconditioner from block-Jacobi to
     the PCR-factored block-tridiagonal inverse (tpu_ba/solver/tridiag.py):
     the factor arrays (P^k, Q^k, final D^-1) arrive VMEM-resident and each
-    application is 2 static lane rolls + 2 batched block-matvecs per level."""
+    application is 2 static lane rolls + 2 batched block-matvecs per level.
+
+    ``fold_damp``: the kernel receives the UNDAMPED lane-major camera
+    blocks (packed once per linearization, λ-free) and computes the damped
+    Ul and the block-Jacobi M⁻¹ = diag_S⁻¹ in its prologue (9×9
+    Gauss–Jordan on lanes) — the per-retry damp + inv_spd_small + two
+    lane repacks (measured damp_inv 1.53 ms + pcg_pack 1.56 ms at
+    ladybug-1723, VERDICT r4 weak #1) collapse to ~μs of VPU work."""
     d2 = dc * dc
 
-    def kernel(tol2_ref, sb_ref, ul_ref, minv_ref, b_ref, x0_ref,
-               x_ref, it_ref, ok_ref):
+    def kernel(*refs):
+        if fold_damp:
+            (tol2_ref, sb_ref, ul_ref, b_ref, x0_ref,
+             x_ref, it_ref, ok_ref) = refs
+            minv_ref = None
+        else:
+            (tol2_ref, sb_ref, ul_ref, minv_ref, b_ref, x0_ref,
+             x_ref, it_ref, ok_ref) = refs
         lanes = jax.lax.broadcasted_iota(jnp.int32, (1, c_pad), 1)
         lmask = (lanes < n_cameras).astype(jnp.float32)    # (1, c_pad)
 
-        ul = ul_ref[:].reshape(dc, dc, c_pad)
+        if fold_damp:
+            # ul_ref holds UNDAMPED U_t; λ rides the SMEM scalar block
+            lamv = tol2_ref[0, 1]
+            U3 = ul_ref[:].reshape(dc, dc, c_pad)
+            sb0 = sb_ref[:, 0:c_pad].reshape(dc, dc, c_pad)
+            Arows = [[U3[m, n][None, :] for n in range(dc)]
+                     for m in range(dc)]
+            for m in range(dc):
+                dU = jnp.clip(Arows[m][m], diag_floor, diag_ceil)
+                Arows[m][m] = Arows[m][m] + lamv * dU
+            ul = jnp.concatenate(
+                [Arows[m][n] for m in range(dc) for n in range(dc)]
+            ).reshape(dc, dc, c_pad)
+            # block diagonal of S = Ul − T_diag; identity on padding lanes
+            # so the Gauss–Jordan pivots are nonzero
+            A = [[Arows[m][n] - sb0[m, n][None, :] for n in range(dc)]
+                 for m in range(dc)]
+            one = jnp.ones((1, c_pad), jnp.float32)
+            for m in range(dc):
+                A[m][m] = A[m][m] + (one - lmask)
+            I = [[one * (1.0 if m == n else 0.0) for n in range(dc)]
+                 for m in range(dc)]
+            # SPD 9×9 Gauss–Jordan, no pivoting (damped diag_S is SPD)
+            for kk in range(dc):
+                piv = 1.0 / A[kk][kk]
+                A[kk] = [a * piv for a in A[kk]]
+                I[kk] = [a * piv for a in I[kk]]
+                for i in range(dc):
+                    if i == kk:
+                        continue
+                    f = A[i][kk]
+                    A[i] = [A[i][n] - f * A[kk][n] for n in range(dc)]
+                    I[i] = [I[i][n] - f * I[kk][n] for n in range(dc)]
+            mi = jnp.concatenate(
+                [I[m][n] for m in range(dc) for n in range(dc)]
+            ).reshape(dc, dc, c_pad)
+        else:
+            ul = ul_ref[:].reshape(dc, dc, c_pad)
         if pcr_levels:
             # minv_ref packs [P (K·d2) | Q (K·d2) | Dinv_fin (d2)] rows
             K = pcr_levels
             pq = minv_ref[:]
             df = pq[2 * K * d2:].reshape(dc, dc, c_pad)
-        else:
+        elif not fold_damp:
             mi = minv_ref[:].reshape(dc, dc, c_pad)
 
         def apply_S(x):                                    # x (dc, c_pad)
@@ -172,14 +223,17 @@ def _make_kernel(dc: int, c_pad: int, n_cameras: int,
 
 
 def _pcg_banded_call(blk, ul_t, minv_t, b_t, x0_t, tol2, *, pairs,
-                     max_iters: int, interpret, pcr_levels: int = 0):
+                     max_iters: int, interpret, pcr_levels: int = 0,
+                     fold_damp: bool = False, diag_floor: float = 1e-6,
+                     diag_ceil: float = 1e32):
     # called from inside the (already-jitted) LM loop; the plan's band
     # layout (offsets, c_pad) is static by construction
     dc = b_t.shape[0]
     c_pad = pairs.c_pad
     kernel = _make_kernel(dc, c_pad, pairs.n_cameras,
                           pairs.band_offsets, max_iters,
-                          pcr_levels=pcr_levels)
+                          pcr_levels=pcr_levels, fold_damp=fold_damp,
+                          diag_floor=diag_floor, diag_ceil=diag_ceil)
     sb = blk[:, :pairs.k_band]
     # Mosaic's scoped-vmem demand measured ~3x the operand footprint (the
     # unrolled per-offset temps stay live; 30 MB scoped at ladybug-1723,
@@ -192,6 +246,9 @@ def _pcg_banded_call(blk, ul_t, minv_t, b_t, x0_t, tol2, *, pairs,
     vmem_cap = min(max(int((band_vmem_bytes(pairs, dc) + pcr_extra) * 4.5),
                        64 * 1024 * 1024),
                    120 * 1024 * 1024)
+    n_in = 5 if fold_damp else 6
+    operands = (tol2, sb, ul_t, b_t, x0_t) if fold_damp else \
+        (tol2, sb, ul_t, minv_t, b_t, x0_t)
     return pl.pallas_call(
         kernel,
         out_shape=(
@@ -199,14 +256,8 @@ def _pcg_banded_call(blk, ul_t, minv_t, b_t, x0_t, tol2, *, pairs,
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_in - 1),
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -214,11 +265,13 @@ def _pcg_banded_call(blk, ul_t, minv_t, b_t, x0_t, tol2, *, pairs,
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_cap),
         interpret=resolve_interpret(interpret),
-    )(tol2, sb, ul_t, minv_t, b_t, x0_t)
+    )(*operands)
 
 
 def pcg_banded(blk, Ul, Minv, b, pairs, *, max_iters: int, tol, x0=None,
-               interpret: bool | None = None, tridiag=None):
+               interpret: bool | None = None, tridiag=None,
+               U_t=None, lam=None, diag_floor: float = 1e-6,
+               diag_ceil: float = 1e32):
     """VMEM-resident PCG on the fully banded reduced camera system.
 
     blk (dc², k_pad) compact band blocks; Ul/Minv (C, dc, dc); b (C, dc).
@@ -226,6 +279,12 @@ def pcg_banded(blk, Ul, Minv, b, pairs, *, max_iters: int, tol, x0=None,
     preconditioner to the PCR-factored block-tridiagonal inverse (Minv is
     then ignored). Returns (x (C, dc), iterations, ok) — same contract as
     tpu_ba.solver.pcg.pcg.
+
+    Fold-damp fast path: pass ``U_t`` (dc², c_pad) UNDAMPED lane-major
+    camera blocks (λ-free, packed once per linearization) + ``lam`` and
+    leave Ul/Minv as None — the kernel prologue computes the damped Ul and
+    the block-Jacobi M⁻¹ in-VMEM (VERDICT r4 weak #1: damp_inv + pcg_pack
+    were ~3 ms of the ladybug λ-retry).
     """
     C, dc = b.shape
     c_pad = pairs.c_pad
@@ -238,24 +297,32 @@ def pcg_banded(blk, Ul, Minv, b, pairs, *, max_iters: int, tol, x0=None,
     def to_lane_vec(v):                              # (C, dc) → (dc, cp)
         return jnp.pad(v.T.astype(f32), ((0, 0), (0, c_pad - C)))
 
-    ul_t = to_lane_blocks(Ul)
+    fold_damp = U_t is not None
     pcr_levels = 0
-    if tridiag is not None:
-        from tpu_ba.solver.tridiag import factor_t
-
-        P, Q, Dinv_fin = tridiag
-        pcr_levels = int(P.shape[0])
-        p_t, q_t, df_t = factor_t(P, Q, Dinv_fin, c_pad)
-        minv_t = jnp.concatenate([p_t, q_t, df_t], axis=0)
+    if fold_damp:
+        assert tridiag is None, "fold_damp path is block-Jacobi only"
+        ul_t = U_t.astype(f32)
+        minv_t = None
     else:
-        minv_t = to_lane_blocks(Minv)
+        ul_t = to_lane_blocks(Ul)
+        if tridiag is not None:
+            from tpu_ba.solver.tridiag import factor_t
+
+            P, Q, Dinv_fin = tridiag
+            pcr_levels = int(P.shape[0])
+            p_t, q_t, df_t = factor_t(P, Q, Dinv_fin, c_pad)
+            minv_t = jnp.concatenate([p_t, q_t, df_t], axis=0)
+        else:
+            minv_t = to_lane_blocks(Minv)
     b_t = to_lane_vec(b)
     x0_t = to_lane_vec(x0) if x0 is not None else jnp.zeros((dc, c_pad), f32)
-    tol2 = jnp.full((1, 1), 1.0, f32) * jnp.square(
-        jnp.asarray(tol, f32))
+    tol2 = jnp.stack(
+        [jnp.square(jnp.asarray(tol, f32)),
+         jnp.asarray(lam if lam is not None else 0.0, f32)]).reshape(1, 2)
 
     x_t, it, ok = _pcg_banded_call(
         blk.astype(f32), ul_t, minv_t, b_t, x0_t, tol2,
         pairs=pairs, max_iters=int(max_iters), interpret=interpret,
-        pcr_levels=pcr_levels)
+        pcr_levels=pcr_levels, fold_damp=fold_damp,
+        diag_floor=diag_floor, diag_ceil=diag_ceil)
     return x_t[:, :C].T.astype(b.dtype), it[0, 0], ok[0, 0] != 0

@@ -206,7 +206,7 @@ def solve_sharded(problem: BAProblem, config: LMConfig | None = None,
             pp = build_pair_plan(
                 problem.cam_idx, problem.pt_idx, problem.n_obs,
                 problem.cameras.shape[0], problem.points.shape[0],
-                symmetric=True, tracks=False,
+                symmetric=True, tracks=False, slots=False,
                 pad_multiple=max(2048, n_dev))
             if (config.linear_solver.endswith("_pallas")
                     and pp.n_pairs % n_dev == 0):

@@ -51,7 +51,8 @@ def _round_up(x: int, m: int) -> int:
                  "pair_seg", "seg_ci", "seg_cj", "diag_pos",
                  "heavy_obs", "heavy_cam", "heavy_seg", "heavy_pt_ids",
                  "seg_plan", "ci_plan",
-                 "seg_perm_cj", "cj_keys", "nondiag", "cj_plan", "track"],
+                 "seg_perm_cj", "cj_keys", "nondiag", "cj_plan", "track",
+                 "slot"],
     meta_fields=["n_pairs", "n_cameras", "max_degree",
                  "n_segments", "k_pad", "n_heavy_obs", "n_heavy_pts",
                  "symmetric", "banded", "band_offsets", "c_pad", "k_band"],
@@ -122,6 +123,14 @@ class PairPlan:
     # contributions come from the gather-free track kernel; only the
     # leftover (wraparound / irregular) points go through the pair gather
     track: object = None       # TrackLayout | None
+    # slot-major extension (tpu_ba/solver/slots.py): generalizes the track
+    # split to ARBITRARY short tracks (span ≤ 16, any gaps) — the dominant
+    # structure of windowed problems with visibility dropouts (the Venice
+    # stand-in), where the quadratic pair gather was 474 ms/linearization
+    # (scripts/trace_venice-1778.json). COMPOSES with ``track``: consecutive
+    # points keep the cheaper track kernel, slots take the rest of the
+    # eligible points, legacy pairs the remainder.
+    slot: object = None        # SlotLayout | None
 
 
 def build_pair_plan(cam_idx, pt_idx, n_obs: int, n_cameras: int, n_points: int,
@@ -130,7 +139,8 @@ def build_pair_plan(cam_idx, pt_idx, n_obs: int, n_cameras: int, n_points: int,
                     with_kernel_plans: bool = False,
                     symmetric: bool = False,
                     banded: bool = True,
-                    tracks: bool | None = None) -> PairPlan:
+                    tracks: bool | None = None,
+                    slots: bool | None = None) -> PairPlan:
     """Host-side plan: enumerate observation pairs sharing a point, sorted by
     camera-pair key. Points whose track length exceeds ``max_degree``
     (quadratic pair blowup) are split off into the *heavy* set: their
@@ -171,17 +181,55 @@ def build_pair_plan(cam_idx, pt_idx, n_obs: int, n_cameras: int, n_points: int,
     # degree here removes them from both the heavy set and the pair loop
     if tracks is None:
         tracks = bool(symmetric and banded)
+    # explicit slots=True engages regardless of size (tests/small scenes);
+    # the auto default applies a minimum-coverage threshold so tiny
+    # problems don't pay extra kernel compiles for nothing
+    slot_min = 0 if slots is True else 4096
+    if slots is None:
+        # tracks=False is the established "pure pair enumeration" switch
+        # (tests, sharded path): slots follow it unless set explicitly
+        slots = tracks
     trk_mask = None
     trk_dmax = 0
+    covered_obs = 0
     if tracks and symmetric and banded:
         from tpu_ba.solver.tracks import split_tracks
 
         tm, _, _, _ = split_tracks(cam_idx, pt_idx, n_obs, n_points)
-        if tm.any():
+        # coverage threshold (auto mode only): a handful of COINCIDENTAL
+        # consecutive tracks on an unstructured problem (shuffled community
+        # IDs) must not force the banded layout — that skipped the
+        # band-coverage admission and produced a useless 32-offset band
+        # with ~everything off-band
+        trk_obs = int(deg[tm].sum()) if tm.any() else 0
+        trk_min = int(0.05 * max(n_obs, 1))
+        if tm.any() and trk_obs >= max(trk_min, 1):
             trk_mask = tm
             trk_dmax = int(deg[tm].max())
+            covered_obs += trk_obs
             deg = deg.copy()
             deg[tm] = 0
+
+    # slot-major split (tpu_ba/solver/slots.py): generalizes tracks to
+    # arbitrary short tracks (gaps allowed). COMPOSES with tracks: the
+    # consecutive points keep the cheaper track kernel, slots take the
+    # remaining eligible points (the dominant share on windowed problems
+    # with visibility dropouts — the Venice stand-in), legacy pairs the rest.
+    slot_buckets = None
+    slot_span_max = 0
+    if slots and symmetric and banded:
+        from tpu_ba.solver.slots import select_slot_buckets, slot_eligible
+
+        elig = slot_eligible(cam_idx, pt_idx, n_obs, n_points)
+        if (elig[0] & (deg > 0)).sum() >= max(slot_min, 1):
+            sb = select_slot_buckets(cam_idx, pt_idx, n_obs, n_points,
+                                     elig=elig, candidate_mask=deg > 0)
+            if sb is not None and sb.n_tracked >= slot_min:
+                slot_buckets = sb
+                slot_span_max = sb.span_max
+                covered_obs += int(deg[sb.accepted_pts].sum())
+                deg = deg.copy()
+                deg[sb.accepted_pts] = 0
 
     # heavy points: matrix-free side channel, excluded from pair enumeration
     heavy_mask = deg > max_degree
@@ -245,8 +293,11 @@ def build_pair_plan(cam_idx, pt_idx, n_obs: int, n_cameras: int, n_points: int,
     np_real = pair_i.shape[0]
 
     use_banded = bool(symmetric and banded
-                      and (np_real or trk_mask is not None))
-    if use_banded and np_real:
+                      and (np_real or trk_mask is not None
+                           or slot_buckets is not None))
+    # band-coverage admission runs unless track/slot layouts already cover
+    # most observations (their structure is in-band by construction)
+    if use_banded and np_real and covered_obs < 0.5 * max(n_obs, 1):
         # band-coverage admission (VERDICT r4 missing #1): community-photo
         # covisibility has ~C distinct index offsets, so the ≤32-offset band
         # would catch almost no pairs and push everything through the slow
@@ -261,14 +312,14 @@ def build_pair_plan(cam_idx, pt_idx, n_obs: int, n_cameras: int, n_points: int,
         top32 = np.sort(cnt_all)[::-1][:32].sum()
         if off_nz.size and top32 < 0.5 * off_nz.size:
             use_banded = False
-            if trk_mask is not None:
-                # tracked points were pulled out for the (now-disabled) band
-                # writer; re-enumerate them as ordinary pairs
+            if trk_mask is not None or slot_buckets is not None:
+                # partially-engaged layouts need the band grid; without it
+                # their points must go back to pair enumeration
                 return build_pair_plan(
                     cam_idx, pt_idx, n_obs, n_cameras, n_points,
                     max_degree=max_degree, pad_multiple=pad_multiple,
                     with_kernel_plans=with_kernel_plans, symmetric=symmetric,
-                    banded=False, tracks=False)
+                    banded=False, tracks=False, slots=False)
     band_list: tuple = ()
     c_pad = k_band = 0
     if use_banded:
@@ -285,17 +336,19 @@ def build_pair_plan(cam_idx, pt_idx, n_obs: int, n_cameras: int, n_points: int,
         cjp = ci[pair_j]
         off = cjp - cip                                   # ≥ 0 (ci ≤ cj)
         u_off, n_pairs_per_off = np.unique(off, return_counts=True)
-        if trk_dmax:
-            # window offsets 0..dmax−1 are mandatory band slots (the track
-            # kernel writes them); protect them through the cap
-            extra = np.setdiff1d(np.arange(trk_dmax), u_off)
+        # window offsets are mandatory band slots (the track/slot kernels
+        # write them); protect them through the 32-offset cap
+        protect = max(trk_dmax,
+                      slot_span_max + 1 if slot_buckets is not None else 0)
+        if protect:
+            extra = np.setdiff1d(np.arange(protect), u_off)
             u_off = np.concatenate([u_off, extra])
             n_pairs_per_off = np.concatenate(
                 [n_pairs_per_off.astype(np.int64),
                  np.full(extra.shape, 1 << 60, np.int64)])
             srt = np.argsort(u_off)
             u_off, n_pairs_per_off = u_off[srt], n_pairs_per_off[srt]
-            win = u_off < trk_dmax
+            win = u_off < protect
             n_pairs_per_off = np.where(win, 1 << 60, n_pairs_per_off)
         band_mask = np.ones(u_off.shape[0], bool)
         if u_off.shape[0] > 32:                           # cap band width
@@ -412,8 +465,17 @@ def build_pair_plan(cam_idx, pt_idx, n_obs: int, n_cameras: int, n_points: int,
             cam_idx, pt_idx, n_obs, n_cameras, n_points, c_pad,
             with_kernel_plans=with_kernel_plans)
 
+    slot_layout = None
+    if slot_buckets is not None and use_banded:
+        from tpu_ba.solver.slots import finalize_slot_layout
+
+        slot_layout = finalize_slot_layout(
+            slot_buckets, band_list, c_pad,
+            with_kernel_plans=with_kernel_plans)
+
     return PairPlan(
         track=track_layout,
+        slot=slot_layout,
         pair_i=jnp.asarray(pair_i.astype(np.int32)),
         pair_j=jnp.asarray(pair_j.astype(np.int32)),
         pair_pt=jnp.asarray(pair_p.astype(np.int32)),
@@ -465,6 +527,15 @@ class PairData(NamedTuple):
     # replacing the quadratic per-pair gather for consecutive tracks
     trk_W: jax.Array | None = None
     trk_V: jax.Array | None = None
+    # slot-major pack (tpu_ba/solver/slots.py): degree-bucketed tuples of
+    # (27, d, Pk) / (9, Pk) — same one-permutation idea for ARBITRARY short
+    # tracks (the Venice windowed-with-dropouts structure)
+    slot_W: tuple | None = None
+    slot_V: tuple | None = None
+    # undamped lane-major camera blocks (dc², c_pad), packed ONCE per
+    # linearization for the fold-damp VMEM PCG prologue (λ-free; the kernel
+    # damps + inverts the block diagonal in-VMEM per retry)
+    U_t: jax.Array | None = None
 
 
 def precompute_pair_data(B: BlockSystem, pairs: PairPlan,
@@ -486,10 +557,24 @@ def precompute_pair_data(B: BlockSystem, pairs: PairPlan,
         from tpu_ba.solver.tracks import gather_track_data
 
         trk_W, trk_V = gather_track_data(W, B.V, pairs.track)
+    slot_W = slot_V = None
+    if pairs.slot is not None:
+        from tpu_ba.solver.slots import gather_slot_data
+
+        slot_W, slot_V = gather_slot_data(W, B.V, pairs.slot)
+        slot_W, slot_V = tuple(slot_W), tuple(slot_V)
+    U_t = None
+    if pairs.banded:
+        dc = B.U.shape[-1]
+        C = pairs.n_cameras
+        U_t = jnp.pad(B.U.transpose(1, 2, 0).reshape(dc * dc, C),
+                      ((0, 0), (0, pairs.c_pad - C)))
     if pairs.n_heavy_pts == 0:
-        return PairData(packed, trk_W=trk_W, trk_V=trk_V)
+        return PairData(packed, trk_W=trk_W, trk_V=trk_V,
+                        slot_W=slot_W, slot_V=slot_V, U_t=U_t)
     return PairData(packed, W[:, pairs.heavy_obs], B.V[:, pairs.heavy_pt_ids],
-                    trk_W=trk_W, trk_V=trk_V)
+                    trk_W=trk_W, trk_V=trk_V, slot_W=slot_W, slot_V=slot_V,
+                    U_t=U_t)
 
 
 def _heavy_operator(pair_data: PairData, lam, pairs: PairPlan, dc: int,
@@ -712,6 +797,25 @@ def _compact_blocks(B: BlockSystem, lam, pairs: PairPlan, pair_data,
         for g in range(tl.dmax):
             pos = pairs.band_offsets.index(g) * cp
             blk = blk.at[:, pos:pos + cp].add(tout[g * d2:(g + 1) * d2, :cp])
+
+    if pairs.slot is not None:
+        # slot-major band contributions (tpu_ba/solver/slots.py): level-1
+        # bucket kernels + level-2 fold emit the off-major band grid
+        # directly — same layout as blk[:, :k_band]
+        sl = pairs.slot
+        if sl.l2_plan is not None:
+            from tpu_ba.kernels.slotband import slot_band_blocks
+
+            sout = slot_band_blocks(
+                pair_data.slot_W, pair_data.slot_V, lam, sl, dc=dc,
+                diag_floor=diag_floor, diag_ceil=diag_ceil)
+        else:
+            from tpu_ba.solver.slots import slot_blocks_jnp
+
+            sout = slot_blocks_jnp(
+                pair_data.slot_W, pair_data.slot_V, lam, sl, dc,
+                diag_floor, diag_ceil)
+        blk = blk.at[:, :pairs.k_band].add(sout)
     return blk
 
 
@@ -801,10 +905,33 @@ def solve_schur_sparse(B: BlockSystem, lam, pairs: PairPlan, pair_data=None, *,
     C = pairs.n_cameras
     dc = B.U.shape[-1]
 
-    Ul, Vl_pts = damp_blocks(B, lam, diag_floor, diag_ceil)
     blk = _compact_blocks(B, lam, pairs, pair_data, diag_floor, diag_ceil)
     if axis_name is not None:
         blk = jax.lax.psum(blk, axis_name)
+
+    want_kernel_ = (pcg_kernel if pcg_kernel is not None
+                    else pairs.seg_plan is not None)
+    # fold-damp fast path (VERDICT r4 weak #1): the VMEM PCG kernel receives
+    # the UNDAMPED λ-free U_t and computes damped Ul + block-Jacobi M⁻¹ in
+    # its prologue — the per-retry damp_inv + pcg_pack phases disappear
+    if (pairs.banded and want_kernel_ and precond == "jacobi"
+            and pairs.n_segments <= pairs.k_band and pairs.n_heavy_pts == 0
+            and B.U.dtype == jnp.float32 and pair_data.U_t is not None):
+        from tpu_ba.kernels.pcg_band import (VMEM_ADMIT_BYTES,
+                                             band_vmem_bytes, pcg_banded)
+
+        if band_vmem_bytes(pairs, dc) <= VMEM_ADMIT_BYTES:
+            _, Vl_pts = damp_blocks(B, lam, diag_floor, diag_ceil)
+            Vinv_pts = inv3x3_rows(Vl_pts)
+            b = schur_rhs(B, Vinv_pts, axis_name, plans)
+            dx_cam, cg_iters, ok = pcg_banded(
+                blk, None, None, b, pairs, max_iters=cg_max_iters,
+                tol=cg_tol, x0=cg_x0, U_t=pair_data.U_t, lam=lam,
+                diag_floor=diag_floor, diag_ceil=diag_ceil)
+            dx_pt = back_substitute(B, Vinv_pts, dx_cam, axis_name, plans)
+            return dx_cam, dx_pt, cg_iters, ok
+
+    Ul, Vl_pts = damp_blocks(B, lam, diag_floor, diag_ceil)
 
     # banded layout: the diagonal IS band slot (offset 0, c) — a plain slice
     diag_T = blk[:, :C] if pairs.banded else blk[:, pairs.diag_pos]
