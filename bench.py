@@ -131,6 +131,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--problem", default="ladybug-1723",
                     help="BAL stand-in name or 'synthetic'")
+    ap.add_argument("--covis", default="ring", choices=("ring", "community"),
+                    help="stand-in covisibility structure (VERDICT r4 #1: "
+                         "'community' = unordered photo-collection graph)")
     ap.add_argument("--max-iters", type=int, default=80)
     ap.add_argument("--cg-iters", type=int, default=100)
     # 1e-4: measurably better parity (−0.011% f64 gap vs +0.69% at 1e-3)
@@ -182,7 +185,12 @@ def main():
         gt = dict(gt)
         gt.setdefault("n_obs", problem.n_obs)
     else:
-        problem, gt = make_bal_like_problem(args.problem, dtype=np.float32)
+        problem, gt = make_bal_like_problem(args.problem, dtype=np.float32,
+                                            covis=args.covis)
+        if args.covis != "ring":
+            # suffixed label: goldens / phase profiles / metric names must
+            # not collide with the ring stand-in's artifacts
+            args.problem = f"{args.problem}-{args.covis}"
     gen_s = time.time() - t0
     n_obs = gt["n_obs"]
 
