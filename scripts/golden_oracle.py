@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--robust", default="none",
                     choices=["none", "huber", "cauchy", "arctan"])
     ap.add_argument("--robust-scale", type=float, default=1.0)
+    ap.add_argument("--covis", default="ring", choices=("ring", "community"),
+                    help="stand-in covisibility structure; community runs "
+                         "write a '-community'-suffixed golden (matches "
+                         "bench.py's suffixed problem labels)")
     args = ap.parse_args()
 
     import jax
@@ -46,7 +50,10 @@ def main():
     from tpu_ba.residuals.robust import ROBUST_KINDS
     from tpu_ba.solver.lm import solve
 
-    problem, gt = make_bal_like_problem(args.problem, dtype=np.float64)
+    problem, gt = make_bal_like_problem(args.problem, dtype=np.float64,
+                                        covis=args.covis)
+    if args.covis != "ring":
+        args.problem = f"{args.problem}-{args.covis}"
     cfg = LMConfig(max_iters=args.max_iters, linear_solver=args.solver,
                    cg_max_iters=args.cg_iters, cg_tol=args.cg_tol,
                    robust_kind=ROBUST_KINDS[args.robust],

@@ -101,3 +101,34 @@ def test_sharded_schur_sparse_pallas_kernel_parity():
                                np.asarray(res_1.cameras),
                                rtol=1e-2, atol=1e-3)
     assert int(res_8.iterations) == int(res_1.iterations)
+
+
+def test_sharded_trackband_engages_and_matches():
+    """VERDICT r4 next #6: the track-major band path runs SHARDED — the
+    sharded plan carries a stacked per-device track layout
+    (shard_stack_track_layout; leading device axis on the point-sharded
+    leaves) and the per-device band partials psum with the pair blocks.
+    Verifies (a) the layout actually engaged, (b) sharded ≡ single-device."""
+    problem = make_synthetic_problem(
+        16, 400, obs_per_point=6, pixel_noise=0.5, seed=7,
+        dtype=np.float64, pad_multiple=128,
+    )[0]
+    cfg = LMConfig(max_iters=8, linear_solver="schur_sparse",
+                   cg_max_iters=300, cg_tol=1e-12)
+    res_1 = solve(problem, cfg)
+    mesh = make_mesh()
+    res_8 = solve_sharded(shard_problem(problem, mesh), cfg, mesh)
+
+    from tpu_ba.solver.lm import _PLAN_MEMO
+
+    sharded_plans = [plan for (tag, *_), plan in _PLAN_MEMO.items()
+                     if tag.startswith("pairs-sharded-8")]
+    assert any(p.track is not None and p.track.slot_idx.ndim == 3
+               for p in sharded_plans), \
+        "sharded plan did not engage the stacked track layout"
+    np.testing.assert_allclose(float(res_8.cost), float(res_1.cost),
+                               rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(res_8.cameras),
+                               np.asarray(res_1.cameras),
+                               rtol=1e-6, atol=1e-8)
+    assert int(res_8.iterations) == int(res_1.iterations)

@@ -123,6 +123,18 @@ def _pairplan_specs(pairs):
         kw[name] = P(AXIS)
     if pairs.seg_plan is not None:          # stacked per-device schedule
         kw["seg_plan"] = _segsum_plan_specs(pairs.seg_plan)
+    if pairs.track is not None:
+        # stacked per-device track layout (shard_stack_track_layout): the
+        # tracked-point axis is sharded; band partials psum with the blocks
+        from tpu_ba.solver.tracks import TrackLayout
+
+        tl = pairs.track
+        kw["track"] = TrackLayout(
+            slot_idx=P(AXIS), slot_mask=P(AXIS), vperm=P(AXIS), keys=P(AXIS),
+            plan=(_segsum_plan_specs(tl.plan) if tl.plan is not None
+                  else None),
+            dmax=tl.dmax, n_tracked=tl.n_tracked, pt_pad=tl.pt_pad,
+            n_out=tl.n_out)
     for name in ("seg_ci", "seg_cj", "diag_pos",
                  "heavy_obs", "heavy_cam", "heavy_seg", "heavy_pt_ids"):
         kw[name] = P()
@@ -149,6 +161,13 @@ def _solve_sharded_jit(problem: BAProblem, config: LMConfig, mesh: Mesh,
 
             pairs = _dc.replace(pairs,
                                 seg_plan=unstack_plan(pairs.seg_plan))
+        if pairs is not None and pairs.track is not None:
+            import dataclasses as _dc
+
+            from tpu_ba.solver.tracks import unstack_track_layout
+
+            pairs = _dc.replace(pairs,
+                                track=unstack_track_layout(pairs.track))
         return lm_loop(cams, pts, obs, ci, pi, mask,
                        n_cameras=problem.cameras.shape[0],
                        n_points=problem.points.shape[0],
@@ -199,15 +218,28 @@ def solve_sharded(problem: BAProblem, config: LMConfig | None = None,
 
         n_dev = mesh.devices.size
         def _build_sharded_pairs():
-            # tracks=False: the track-major arrays partition by POINT while
-            # the pair arrays partition by pair — mixing the two shard
-            # axes in one plan pytree is not supported yet; the sharded
-            # solver keeps the uniform pair layout
+            # tracks=True (VERDICT r4 next #6): the global track layout is
+            # split into per-device point chunks (shard_stack_track_layout)
+            # whose band partials psum with the pair blocks — the track
+            # kernel now runs sharded exactly as single-device. slots=False
+            # remains the one documented exclusion: the degree-bucketed
+            # slot tuples would need a per-device re-bucketing pass that
+            # has no sharded consumer yet (community plans are slot-free
+            # anyway, and ring plans route most points through tracks).
             pp = build_pair_plan(
                 problem.cam_idx, problem.pt_idx, problem.n_obs,
                 problem.cameras.shape[0], problem.points.shape[0],
-                symmetric=True, tracks=False, slots=False,
+                symmetric=True, tracks=True, slots=False,
                 pad_multiple=max(2048, n_dev))
+            if pp.track is not None:
+                import dataclasses as _dc
+
+                from tpu_ba.solver.tracks import shard_stack_track_layout
+
+                pp = _dc.replace(pp, track=shard_stack_track_layout(
+                    pp.track, n_dev,
+                    with_kernel_plans=config.linear_solver.endswith(
+                        "_pallas")))
             if (config.linear_solver.endswith("_pallas")
                     and pp.n_pairs % n_dev == 0):
                 # per-device block-build schedules: each device's pair

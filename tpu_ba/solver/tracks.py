@@ -203,6 +203,72 @@ def _build_margin_plan(keys: np.ndarray, n_out: int, *, tile: int,
     )
 
 
+def shard_stack_track_layout(layout: TrackLayout, n_dev: int, *,
+                             tile: int = 2048,
+                             with_kernel_plans: bool = True) -> TrackLayout:
+    """Split a global TrackLayout into ``n_dev`` per-device layouts and
+    stack them with a leading device axis (VERDICT r4 next #6 — the last
+    sharded-kernel-parity exclusion).
+
+    The tracked points are start-camera-sorted, so a contiguous chunk of
+    layout columns is a contiguous band-row range per device; each device's
+    fused track kernel emits full-width band partials that psum exactly
+    like the pair-block psum (tpu_ba/solver/pairs.py solve_schur_sparse).
+    ``slot_idx`` holds GLOBAL observation ids — the sharded pack gathers
+    from the per-linearization all-gathered W, same as the pair gather.
+
+    Per-device margin plans share (tile, chunk, n_out, n_obs) by
+    construction (the auto-chunk formula depends only on those), so
+    ``pad_stack_segsum_plans`` stacks them for shard_map delivery."""
+    from tpu_ba.kernels.segsum import pad_stack_segsum_plans
+
+    nt = layout.n_tracked
+    nd = -(-max(nt, 1) // n_dev)                   # columns per device
+    pt_pad_dev = _round_up(nd, tile)
+    slot_idx = np.asarray(layout.slot_idx)
+    slot_mask = np.asarray(layout.slot_mask)
+    vperm = np.asarray(layout.vperm)
+    keys = np.asarray(layout.keys)
+    fill_key = int(keys[max(nt - 1, 0)])           # keeps keys sorted
+
+    si, sm, vp, ky, plans = [], [], [], [], []
+    for d in range(n_dev):
+        lo, hi = d * nd, min((d + 1) * nd, nt)
+        w = max(hi - lo, 0)
+        pad = pt_pad_dev - w
+        k_dev = keys[lo:hi]
+        fill = int(k_dev[-1]) if w else fill_key
+        si.append(np.pad(slot_idx[:, lo:hi], ((0, 0), (0, pad))))
+        sm.append(np.pad(slot_mask[:, lo:hi], ((0, 0), (0, pad))))
+        vp.append(np.pad(vperm[lo:hi], (0, pad)))
+        ky.append(np.concatenate([k_dev, np.full(pad, fill, k_dev.dtype)]))
+        if with_kernel_plans:
+            plans.append(_build_margin_plan(ky[-1], layout.n_out, tile=tile,
+                                            margin=layout.dmax - 1))
+    plan = pad_stack_segsum_plans(plans) if plans else None
+    return TrackLayout(
+        slot_idx=jnp.asarray(np.stack(si).astype(np.int32)),
+        slot_mask=jnp.asarray(np.stack(sm).astype(np.float32)),
+        vperm=jnp.asarray(np.stack(vp).astype(np.int32)),
+        keys=jnp.asarray(np.stack(ky).astype(np.int32)),
+        plan=plan,
+        dmax=layout.dmax, n_tracked=nt, pt_pad=pt_pad_dev,
+        n_out=layout.n_out,
+    )
+
+
+def unstack_track_layout(layout: TrackLayout) -> TrackLayout:
+    """Inside shard_map: drop the leading (length-1) device axis of a
+    stacked TrackLayout."""
+    from tpu_ba.kernels.segsum import unstack_plan
+
+    return dataclasses.replace(
+        layout,
+        slot_idx=layout.slot_idx[0], slot_mask=layout.slot_mask[0],
+        vperm=layout.vperm[0], keys=layout.keys[0],
+        plan=unstack_plan(layout.plan) if layout.plan is not None else None)
+
+
 def gather_track_data(W, V, layout: TrackLayout):
     """λ-free per-linearization pack: W into slot order (one O-sized
     permutation gather — the whole point of the layout), V into
