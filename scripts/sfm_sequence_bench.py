@@ -187,6 +187,13 @@ def main():
         "render_s": render_s,
         "sfm_s": sfm_s,
         "sfm_stage_s": res.report.get("stage_s"),
+        # compile/steady split (VERDICT r4 ask #7): per-stage per-call
+        # stats; warm_s_per_frame is the steady-state number a warm
+        # persistent cache (or a long sequence) amortizes toward
+        "sfm_stage_split": res.report.get("stage_split"),
+        "sfm_warm_total_s": res.report.get("warm_total_s"),
+        "sfm_compile_attr_s": res.report.get("compile_attr_s"),
+        "sfm_warm_s_per_frame": res.report.get("warm_s_per_frame"),
         "posegraph_s": pg_s,
         "pnp_failures": [p for p in res.report["pnp"] if not p["registered"]],
     }
