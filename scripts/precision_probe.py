@@ -72,6 +72,69 @@ for mode in args.modes.split(","):
             c, acc, it = run(np.float64)
         finally:
             pairs_mod.solve_schur_sparse = orig
+    elif mode == "comp_dots":
+        # f32 everything, CG dot products accumulated in f64 — the upper
+        # bound of a two-float compensated-dot kernel (VERDICT r4 ask #8)
+        from tpu_ba.solver import pcg as pcg_mod
+
+        pcg_mod.DOT_ACCUM_DTYPE = jnp.float64
+        try:
+            c, acc, it = run(np.float32)
+        finally:
+            pcg_mod.DOT_ACCUM_DTYPE = None
+    elif mode == "comp_seg":
+        # f32 everything, JᵀJ/JTr assembly segment sums accumulated in f64
+        # — the upper bound of compensated segment-sum kernels
+        from tpu_ba.solver import normal as normal_mod
+
+        orig_as = normal_mod.assemble
+
+        def assemble64(r, Jc, Jp, ci, pi, C, P, kind, scale, mask,
+                       axis_name=None, plans=None):
+            B = orig_as(r.astype(jnp.float64), Jc.astype(jnp.float64),
+                        Jp.astype(jnp.float64), ci, pi, C, P, kind, scale,
+                        mask, axis_name, plans)
+            return jax.tree.map(
+                lambda x: x.astype(jnp.float32)
+                if hasattr(x, "dtype") and x.dtype == jnp.float64 else x, B)
+
+        normal_mod.assemble = assemble64
+        import tpu_ba.solver.lm as lm_mod
+
+        orig_lm_as = lm_mod.assemble
+        lm_mod.assemble = assemble64
+        try:
+            c, acc, it = run(np.float32)
+        finally:
+            normal_mod.assemble = orig_as
+            lm_mod.assemble = orig_lm_as
+    elif mode == "comp_both":
+        from tpu_ba.solver import normal as normal_mod
+        from tpu_ba.solver import pcg as pcg_mod
+
+        orig_as = normal_mod.assemble
+
+        def assemble64(r, Jc, Jp, ci, pi, C, P, kind, scale, mask,
+                       axis_name=None, plans=None):
+            B = orig_as(r.astype(jnp.float64), Jc.astype(jnp.float64),
+                        Jp.astype(jnp.float64), ci, pi, C, P, kind, scale,
+                        mask, axis_name, plans)
+            return jax.tree.map(
+                lambda x: x.astype(jnp.float32)
+                if hasattr(x, "dtype") and x.dtype == jnp.float64 else x, B)
+
+        import tpu_ba.solver.lm as lm_mod
+
+        orig_lm_as = lm_mod.assemble
+        normal_mod.assemble = assemble64
+        lm_mod.assemble = assemble64
+        pcg_mod.DOT_ACCUM_DTYPE = jnp.float64
+        try:
+            c, acc, it = run(np.float32)
+        finally:
+            normal_mod.assemble = orig_as
+            lm_mod.assemble = orig_lm_as
+            pcg_mod.DOT_ACCUM_DTYPE = None
     else:
         raise SystemExit(f"unknown mode {mode}")
     gap = (c - golden["final_cost"]) / golden["final_cost"] * 100

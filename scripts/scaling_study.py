@@ -67,12 +67,16 @@ def collect_collective_shapes(problem, config, mesh):
         from tpu_ba.solver.lm import _memoized, _plan_key
         from tpu_ba.solver.pairs import build_pair_plan
 
+        # tracks=False: this plan only feeds .lower() for the collective
+        # inventory; the track band partials ride the SAME blk psum as the
+        # pairs (identical collective shapes), and an unstacked track
+        # layout is rejected by the sharded spec builder by design
         pairs = _memoized(
             _plan_key(problem, f"pairs-sharded-{mesh.devices.size}"),
             lambda: build_pair_plan(
                 problem.cam_idx, problem.pt_idx, problem.n_obs,
                 problem.cameras.shape[0], problem.points.shape[0],
-                symmetric=True))
+                symmetric=True, tracks=False, slots=False))
     lowered = dist._solve_sharded_jit.lower(problem, config, mesh, None, pairs)
     txt = lowered.compile().as_text()
     inv = {}

@@ -129,6 +129,13 @@ def _pairplan_specs(pairs):
         from tpu_ba.solver.tracks import TrackLayout
 
         tl = pairs.track
+        if tl.slot_idx.ndim != 3:     # static shape info — trace-safe
+            raise ValueError(
+                "sharded PairPlan carries an UNSTACKED TrackLayout — a "
+                "replicated global layout would add the full track band "
+                "contribution on every device and the psum would multiply "
+                "it by the mesh size. Build the plan with tracks=False or "
+                "stack it with shard_stack_track_layout().")
         kw["track"] = TrackLayout(
             slot_idx=P(AXIS), slot_mask=P(AXIS), vperm=P(AXIS), keys=P(AXIS),
             plan=(_segsum_plan_specs(tl.plan) if tl.plan is not None

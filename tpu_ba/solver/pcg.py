@@ -12,6 +12,14 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# Accumulation dtype for the CG dot products (None = input dtype).
+# Measurement knob for the compensated-precision study (VERDICT r4 ask #8,
+# scripts/precision_probe.py): f64 accumulation is a strict UPPER BOUND on
+# what two-float (Dekker/Kahan) compensation could recover, so probing with
+# float64 on CPU bounds the achievable parity gain before any kernel work.
+# Production TPU runs keep None (f64 is unsupported on the chip).
+DOT_ACCUM_DTYPE = None
+
 
 def pcg(matvec, b, precond, *, max_iters: int, tol: float, x0=None):
     """Solve A x = b with preconditioned CG.
@@ -28,6 +36,9 @@ def pcg(matvec, b, precond, *, max_iters: int, tol: float, x0=None):
         x0 = jnp.zeros_like(b)
 
     def dot(a, c):
+        if DOT_ACCUM_DTYPE is not None:
+            return jnp.sum(a.astype(DOT_ACCUM_DTYPE)
+                           * c.astype(DOT_ACCUM_DTYPE)).astype(b.dtype)
         return jnp.sum(a * c)
 
     r0 = b - matvec(x0)
