@@ -163,13 +163,35 @@ def main():
     def ph_gather(c):
         B2, acc = c
         pd = pairs_mod.precompute_pair_data(B2, pairs)
-        return (B2, acc + pd.packed[0, :1] * 1e-30)
+        # force EVERY pack component: with only pd.packed touched, XLA
+        # dead-code-eliminates the slot/track/U_t gathers and the phase
+        # under-measures the λ-free pack by its dominant part on slot-major
+        # problems (round-5 fix — the venice "1.9 ms pair_gather" artifact)
+        probe = pd.packed[0, :1]
+        if pd.trk_W is not None:
+            probe = probe + pd.trk_W[0, 0, :1] + pd.trk_V[0, :1]
+        if pd.slot_W is not None:
+            for w, v in zip(pd.slot_W, pd.slot_V):
+                probe = probe + w[0, 0, :1] + v[0, :1]
+        if pd.U_t is not None:
+            probe = probe + pd.U_t[0, :1]
+        return (B2, acc + probe * 1e-30)
 
+    # pack bytes: legacy pairs (63 f32 read+write each) + one O-sized
+    # permutation per slot/track layout (27 W + 9 V f32 read+write per
+    # covered observation) + the U_t repack
+    pack_obs = 0
+    if pairs.track is not None:
+        pack_obs += int(np.asarray(pairs.track.slot_mask).sum())
+    if pairs.slot is not None:
+        pack_obs += sum(int(np.asarray(m).sum())
+                        for m in pairs.slot.slot_mask)
     phases["pair_gather"] = {
         "s": timeit_scan(ph_gather, (B, jnp.zeros((1,), jnp.float32))),
         "per": "linearization",
-        # gather-read 63 f32 per pair + write 63 f32 per pair
-        "bytes": Np * (63 + 63) * 4,
+        # gather-read + write: legacy pairs, slot/track packs, U_t
+        "bytes": (Np * (63 + 63) * 4 + pack_obs * (36 + 36) * 4
+                  + (2 * 81 * pairs.c_pad * 4 if pairs.banded else 0)),
     }
 
     # ---- phase: compact block build (fused Pallas, per λ) ----------------
